@@ -1,0 +1,16 @@
+"""Test configuration: CPU platform, float64, 8 virtual devices for
+multi-chip sharding tests (mirrors how the driver validates multi-chip
+paths with xla_force_host_platform_device_count)."""
+
+import os
+
+os.environ.setdefault("TNAX_PLATFORM", "cpu")
+os.environ.setdefault("TNAX_X64", "1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import tnax  # noqa: E402  (applies platform/precision config)
+
+tnax.ensure_precision()

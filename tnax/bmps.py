@@ -1,0 +1,410 @@
+"""Functional boundary-MPS engine (JAX, static shapes).
+
+TPU-first redesign of the reference MPS module (reference
+`tnac4o/mps.py:96-811`). Instead of an object with mutable, *ragged* per-site
+tensors, an MPS is a single stacked array ``A`` of shape ``(L, D, d, D)`` —
+every bond and physical dimension padded to a static maximum — plus a scalar
+``lognorm`` (accumulated log2 scale, replacing the reference's ``normC``,
+`tnac4o/mps.py:122,536-547`). Ragged bond dimensions (reference `_Dset`,
+`mps.py:644-653`) appear here as exactly-zero channels: QR/SVD of matrices
+with zero rows/columns propagate exact zeros, so no masks are needed in the
+hot path and every sweep compiles once and runs as `lax.scan` over sites.
+
+The three building blocks mirror the reference semantics:
+
+- :func:`canonize_left` / :func:`canonize_right` — QR sweeps with optional
+  on-the-fly SVD truncation of the centre matrix (reference
+  `canonise_left/right` + `truncateC`, `mps.py:202-236,562-585`).
+- :func:`variational_compress` — alternating one-site sweeps against a fixed
+  (possibly fat) target MPS (reference `variational_compress`,
+  `mps.py:238-279`).
+- :func:`compress` — the graduate-truncation driver (reference `compress_mps`,
+  `mps.py:175-200`).
+
+MPO application (reference `apply_mpo`/`_mps_HA`, `mps.py:353-359,753-763`)
+is a single einsum producing the "fat" MPS with bond ``D*l``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class MPS(NamedTuple):
+    """Stacked boundary MPS: ``A[(n, Dl, d, Dr)]`` + log2 norm factor."""
+    A: jax.Array
+    lognorm: jax.Array
+
+
+def trivial_mps(L: int, D: int, d: int, dtype) -> MPS:
+    """Product state of ones on the valid (index-0) channels.
+
+    Plays the role of the reference's initial `MPS(d=1, L=Nx, Dmax=1,
+    initial='X')` boundary (reference `tnac4o/tnac4o.py:1682`).
+    """
+    A = jnp.zeros((L, D, d, D), dtype=dtype).at[:, 0, 0, 0].set(1.0)
+    return MPS(A=A, lognorm=jnp.zeros((), dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# dense kernels
+# ---------------------------------------------------------------------------
+
+def nfactor(x: jax.Array) -> jax.Array:
+    """Largest |entry| floored to a power of two; 1 for the zero matrix.
+
+    Power-of-two rescaling is exact in floating point (reference `nfactor`,
+    `tnac4o/mps.py:76-85`, implemented there by bit-twiddling the f64
+    exponent; `exp2(floor(log2(.)))` is the portable equivalent).
+    """
+    m = jnp.max(jnp.abs(x))
+    m = jnp.where(m > 0, m, 1.0)
+    return jnp.exp2(jnp.floor(jnp.log2(m)))
+
+
+def qr_fixed(M: jax.Array):
+    """Economic QR with the sign of diag(R) fixed to be non-negative
+    (reference `qr`, `tnac4o/mps.py:43-59`)."""
+    Q, R = jnp.linalg.qr(M, mode="reduced")
+    s = jnp.sign(jnp.diagonal(R))
+    s = jnp.where(s == 0, 1.0, s).astype(M.dtype)
+    return Q * s[None, :], R * s[:, None]
+
+
+def svd_fixed(M: jax.Array):
+    """SVD with deterministic column-sign convention
+    (reference `svd`, `tnac4o/mps.py:24-40`)."""
+    U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+    flip = (jnp.abs(U.min(0)) > U.max(0)) & (jnp.abs(Vh.min(1)) > Vh.max(1))
+    s = jnp.where(flip, -1.0, 1.0).astype(M.dtype)
+    return U * s[None, :], S, Vh * s[:, None]
+
+
+def truncate_center(C: jax.Array, cap: int, tol: float):
+    """SVD-truncate the centre matrix to rank <= cap, dropping singular
+    values below ``tol * S[0]`` (reference `_mps_truncateC`,
+    `tnac4o/mps.py:802-811`). Keeps static shapes: discarded channels are
+    zeroed, not removed.
+
+    Returns (U, S, Vh, discarded) with masked U columns / Vh rows.
+    """
+    eps = float(jnp.finfo(C.dtype).eps)
+    tol = max(eps, tol)
+    U, S, Vh = svd_fixed(C)
+    k = jnp.arange(S.shape[0])
+    keep = (S > S[0] * tol) & (k < cap)
+    s0 = jnp.where(S[0] > 0, S[0], 1.0)
+    discarded = jnp.sqrt(jnp.sum(jnp.where(keep, 0.0, S) ** 2)) / s0
+    S = jnp.where(keep, S, 0.0)
+    U = U * keep[None, :].astype(C.dtype)
+    Vh = Vh * keep[:, None].astype(C.dtype)
+    return U, S, Vh, discarded
+
+
+# ---------------------------------------------------------------------------
+# canonization sweeps
+# ---------------------------------------------------------------------------
+
+def _absorb_final_scalar(A, C, lognorm):
+    """Drop the final (1x1-valid) centre matrix into lognorm + a sign on the
+    last-touched site tensor ``A[idx]``. Reference absorbs the sign in
+    `_mps_decompose_AC` (`tnac4o/mps.py:778-781`)."""
+    c = C[0, 0]
+    mag = jnp.abs(c)
+    lognorm = lognorm + jnp.where(mag > 0, jnp.log2(jnp.where(mag > 0, mag, 1.0)), 0.0)
+    sign = jnp.where(c < 0, -1.0, 1.0).astype(A.dtype)
+    return A, sign, lognorm
+
+
+def canonize_left(mps: MPS, *, compress: bool = False, cap: int = None,
+                  tol: float = 0.0):
+    """Left-canonize; optionally SVD-truncate every bond to <= cap.
+
+    Returns (MPS, max_discarded). Reference `canonise_left`
+    (`tnac4o/mps.py:202-218`).
+    """
+    L, Dl, d, Dr = mps.A.shape
+    dtype = mps.A.dtype
+    C0 = jnp.zeros((Dl, Dl), dtype=dtype).at[0, 0].set(1.0)
+
+    def step(carry, An):
+        C, lognorm, disc = carry
+        Ai = jnp.einsum("ab,bdc->adc", C, An)
+        Q, R = qr_fixed(Ai.reshape(Dl * d, Dr))
+        nf = nfactor(R)
+        R = R / nf
+        lognorm = lognorm + jnp.log2(nf)
+        Qr = Q.reshape(Dl, d, Dr)
+        if compress:
+            U, S, Vh, dsc = truncate_center(R, cap, tol)
+            Anew = jnp.einsum("adb,bk->adk", Qr, U)
+            C = S[:, None] * Vh
+            disc = jnp.maximum(disc, dsc)
+        else:
+            Anew, C = Qr, R
+        return (C, lognorm, disc), Anew
+
+    init = (C0, mps.lognorm, jnp.zeros((), dtype=dtype))
+    (C, lognorm, disc), Anew = lax.scan(step, init, mps.A)
+    Anew, sign, lognorm = _absorb_final_scalar(Anew, C, lognorm)
+    Anew = Anew.at[L - 1].multiply(sign)
+    return MPS(A=Anew, lognorm=lognorm), disc
+
+
+def canonize_right(mps: MPS, *, compress: bool = False, cap: int = None,
+                   tol: float = 0.0):
+    """Right-canonize; optionally SVD-truncate every bond to <= cap.
+
+    Returns (MPS, max_discarded). Reference `canonise_right`
+    (`tnac4o/mps.py:220-236`).
+    """
+    L, Dl, d, Dr = mps.A.shape
+    dtype = mps.A.dtype
+    C0 = jnp.zeros((Dr, Dr), dtype=dtype).at[0, 0].set(1.0)
+
+    def step(carry, An):
+        C, lognorm, disc = carry
+        Ai = jnp.einsum("adb,bc->adc", An, C)
+        Q, R = qr_fixed(Ai.reshape(Dl, d * Dr).T)
+        nf = nfactor(R)
+        R = R / nf
+        lognorm = lognorm + jnp.log2(nf)
+        Qr = Q.T.reshape(Dl, d, Dr)
+        Craw = R.T  # sits on the left of site n
+        if compress:
+            U, S, Vh, dsc = truncate_center(Craw, cap, tol)
+            Anew = jnp.einsum("kb,bdc->kdc", Vh, Qr)
+            C = U * S[None, :]
+            disc = jnp.maximum(disc, dsc)
+        else:
+            Anew, C = Qr, Craw
+        return (C, lognorm, disc), Anew
+
+    init = (C0, mps.lognorm, jnp.zeros((), dtype=dtype))
+    (C, lognorm, disc), Anew = lax.scan(step, init, mps.A, reverse=True)
+    Anew, sign, lognorm = _absorb_final_scalar(Anew, C, lognorm)
+    Anew = Anew.at[0].multiply(sign)
+    return MPS(A=Anew, lognorm=lognorm), disc
+
+
+def slice_bond(mps: MPS, D: int) -> MPS:
+    """Shrink the padded bond dimension to D.
+
+    Exact whenever every bond has been truncated to rank <= D (truncation
+    zeroes trailing channels, so slicing drops only zeros).
+    """
+    return MPS(A=mps.A[:, :D, :, :D], lognorm=mps.lognorm)
+
+
+def pad_bond(mps: MPS, D: int) -> MPS:
+    L, Dl, d, Dr = mps.A.shape
+    if Dl == D:
+        return mps
+    A = jnp.zeros((L, D, d, D), dtype=mps.A.dtype)
+    A = A.at[:, :Dl, :, :Dr].set(mps.A)
+    return MPS(A=A, lognorm=mps.lognorm)
+
+
+# ---------------------------------------------------------------------------
+# MPO application
+# ---------------------------------------------------------------------------
+
+def apply_mpo(mps: MPS, W: jax.Array, *, conj: bool) -> MPS:
+    """Apply one row of traced PEPS tensors ``W[(n, l, d, r, u)]`` to the MPS.
+
+    conj=True (top boundary, reference `apply_mpo(..., Hconj=True)`,
+    `tnac4o/mps.py:753-763`): the MPS physical leg contracts the MPO's
+    down-leg, leaving the up-leg; fat bonds are (mps-bond, mpo-bond) with
+    mps-major ordering. conj=False is the mirror (bottom boundary).
+    """
+    L, D, d, _ = mps.A.shape
+    lh = W.shape[1]
+    if conj:
+        fat = jnp.einsum("nadb,nldru->nalubr", mps.A, W)
+    else:
+        fat = jnp.einsum("nldru,naub->nladrb", W, mps.A)
+    fat = fat.reshape(L, D * lh, -1, D * lh)
+    return MPS(A=fat, lognorm=mps.lognorm)
+
+
+# ---------------------------------------------------------------------------
+# variational compression
+# ---------------------------------------------------------------------------
+
+def _mix_left(RL, p, a):
+    """RL'[c', f'] = sum RL[c, f] phi[f, d, f'] A[c, d, c']
+    (reference `_mps_RL`, `tnac4o/mps.py:655-658`)."""
+    T = jnp.einsum("cf,fdg->cdg", RL, p)
+    return jnp.einsum("cdg,cdk->kg", T, a)
+
+
+def _mix_right(RR, p, a):
+    """RR'[f', c'] = sum phi[f', d, f] RR[f, c] A[c', d, c]
+    (reference `_mps_RR`, `tnac4o/mps.py:660-663`)."""
+    T = jnp.einsum("fdg,gc->fdc", p, RR)
+    return jnp.einsum("fdc,kdc->fk", T, a)
+
+
+def _project(RL, p, RR):
+    """B[c, d, c'] = RL[c, f] phi[f, d, f'] RR[f', c']
+    (reference `_mps_RAR`, `tnac4o/mps.py:748-751`)."""
+    T = jnp.einsum("cf,fdg->cdg", RL, p)
+    return jnp.einsum("cdg,gk->cdk", T, RR)
+
+
+def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
+                         max_sweeps: int):
+    """Alternating one-site compression of ``mps`` against target ``phi``.
+
+    ``mps.A`` must enter (approximately) left-canonical, as produced by
+    :func:`canonize_left`. Convergence is measured by the largest change of
+    Schmidt vectors along the left sweep (reference `variational_compress`,
+    `tnac4o/mps.py:238-279`).
+
+    Returns (MPS, overlap) where overlap = <phi|mps> including no lognorm
+    factors (diagnostic, as in the reference).
+    """
+    A0 = mps.A
+    L, D, d, _ = A0.shape
+    F = phi.shape[1]
+    dtype = A0.dtype
+
+    rl0 = jnp.zeros((D, F), dtype=dtype).at[0, 0].set(1.0)
+    rr_triv = jnp.zeros((F, D), dtype=dtype).at[0, 0].set(1.0)
+
+    def setup(carry, xs):
+        p, a = xs
+        rl = _mix_left(carry, p, a)
+        return rl, rl
+
+    rl_last, RLs_tail = lax.scan(setup, rl0, (phi, A0))
+    RLs = jnp.concatenate([rl0[None], RLs_tail], axis=0)  # (L+1, D, F)
+    overlap0 = RLs[L][0, 0]
+
+    S0 = jnp.zeros((L + 1, D), dtype=dtype).at[:, 0].set(1.0)
+
+    def right_sweep(A, S, RLs):
+        """Optimize sites L-1..1; returns new A, S, stacked right envs."""
+        def step(carry, xs):
+            RR, S = carry
+            n, p, rl = xs
+            B = _project(rl, p, RR)
+            Q, R = qr_fixed(B.reshape(D, d * D).T)
+            An = Q.T.reshape(D, d, D)
+            C = R.T
+            sv = jnp.linalg.svd(C, compute_uv=False)
+            S = S.at[n].set(sv)
+            RRn = _mix_right(RR, p, An)
+            return (RRn, S), (An, RRn)
+
+        ns = jnp.arange(1, L)
+        (RR_last, S), (A_tail, RR_tail) = lax.scan(
+            step, (rr_triv, S), (ns, phi[1:], RLs[1:L]), reverse=True)
+        Anew = jnp.concatenate([A[:1], A_tail], axis=0)
+        # RRs[n] = env of sites n..L-1; RR_tail[k] is env from site k+1
+        RRs = jnp.concatenate([RR_tail, rr_triv[None]], axis=0)  # (L, F, D): RRs[k] = env right of site k
+        return Anew, S, RRs
+
+    def left_sweep(A, S, RRs):
+        """Optimize sites 0..L-1; returns A, S, RLs, diff, overlap."""
+        def step(carry, xs):
+            RL, S, diff = carry
+            n, p, rr = xs
+            B = _project(RL, p, rr)
+            Q, R = qr_fixed(B.reshape(D * d, D))
+            An = Q.reshape(D, d, D)
+            sv = jnp.linalg.svd(R, compute_uv=False)
+            dS = jnp.sqrt(jnp.sum((S[n + 1] - sv) ** 2))
+            S = S.at[n + 1].set(sv)
+            diff = jnp.maximum(diff, dS)
+            RLn = _mix_left(RL, p, An)
+            return (RLn, S, diff), (An, RLn)
+
+        ns = jnp.arange(L)
+        (rl_last, S, diff), (Anew, RL_tail) = lax.scan(
+            step, (rl0, S, jnp.zeros((), dtype)), (ns, phi, RRs))
+        RLs = jnp.concatenate([rl0[None], RL_tail], axis=0)
+        overlap = rl_last[0, 0]
+        return Anew, S, RLs, diff, overlap
+
+    def cond(st):
+        _, _, _, diff, _, sweeps = st
+        return (diff > tol) & (sweeps < max_sweeps)
+
+    def body(st):
+        A, S, RLs, _, _, sweeps = st
+        A, S, RRs = right_sweep(A, S, RLs)
+        A, S, RLs, diff, overlap = left_sweep(A, S, RRs)
+        return (A, S, RLs, diff, overlap, sweeps + 1)
+
+    st = (A0, S0, RLs, jnp.ones((), dtype), overlap0, jnp.zeros((), jnp.int32))
+    A, S, RLs, diff, overlap, sweeps = lax.while_loop(cond, body, st)
+    return MPS(A=A, lognorm=mps.lognorm), overlap
+
+
+# ---------------------------------------------------------------------------
+# graduate-truncation compression driver
+# ---------------------------------------------------------------------------
+
+def compress(mps: MPS, Dmax: int, *, tolS: float, tolV: float,
+             max_sweeps: int, graduate: bool = True):
+    """Compress an MPS to bond dimension Dmax.
+
+    Reproduces the reference `compress_mps` schedule
+    (`tnac4o/mps.py:175-200`): right-canonize, snapshot the target, then —
+    with graduate truncation — SVD to 4*Dmax (tolS/10), one variational
+    sweep, SVD to 2*Dmax (tolS/2), and finally SVD to Dmax (tolS) followed by
+    up to ``max_sweeps`` variational sweeps. Static shapes shrink at each
+    stage via exact zero-channel slicing.
+
+    Returns (MPS(bond=Dmax), overlap, max_discarded).
+    """
+    Dfat = mps.A.shape[1]
+    mps, _ = canonize_right(mps)
+    phi = mps.A  # compression target (right-canonical fat MPS)
+    disc_total = jnp.zeros((), mps.A.dtype)
+
+    if graduate:
+        cap1 = min(4 * Dmax, Dfat)
+        mps, disc = canonize_left(mps, compress=True, cap=cap1, tol=tolS / 10)
+        disc_total = jnp.maximum(disc_total, disc)
+        mps = slice_bond(mps, cap1)
+        mps, _ = variational_compress(mps, phi, tol=tolV, max_sweeps=1)
+        cap2 = min(2 * Dmax, cap1)
+        mps, disc = canonize_right(mps, compress=True, cap=cap2, tol=tolS / 2)
+        disc_total = jnp.maximum(disc_total, disc)
+        mps = slice_bond(mps, cap2)
+
+    cap = min(Dmax, mps.A.shape[1])
+    mps, disc = canonize_left(mps, compress=True, cap=cap, tol=tolS)
+    disc_total = jnp.maximum(disc_total, disc)
+    mps = slice_bond(mps, cap)
+    mps, overlap = variational_compress(mps, phi, tol=tolV,
+                                        max_sweeps=max_sweeps)
+    mps = pad_bond(mps, Dmax)
+    return mps, overlap, disc_total
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def mps_dot(phi_A: jax.Array, psi_A: jax.Array) -> jax.Array:
+    """<phi|psi> of two stacked MPS (no lognorm factors).
+
+    Reference `dot` (`tnac4o/mps.py:88-93`).
+    """
+    Dp = phi_A.shape[1]
+    Ds = psi_A.shape[1]
+    rl = jnp.zeros((Ds, Dp), dtype=psi_A.dtype).at[0, 0].set(1.0)
+
+    def step(rl, xs):
+        p, a = xs
+        return _mix_left(rl, p, a), None
+
+    rl, _ = lax.scan(step, rl, (phi_A, psi_A))
+    return rl[0, 0]

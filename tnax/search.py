@@ -1,0 +1,258 @@
+"""Branch-and-bound most-probable-state search (ground state + shared core).
+
+The reference evaluates conditional marginals one branch at a time in a
+Python loop (`tnac4o/tnac4o.py:444-448`) and merges branches with
+dict/groupby bookkeeping. Here all heavy tensor work — boundary-MPS stack,
+per-row right environments, the M-branch marginal contraction, left-env
+updates — runs batched on the accelerator (`tnax.engine`), while the exact
+beam bookkeeping (log2-probabilities, relative cutoff, top-M, merge by
+boundary index vector, float64 energy accounting, degeneracy counting) stays
+in vectorized host NumPy, replicating reference semantics bit-for-bit where
+it matters (energies, degeneracies).
+
+Reference call stack being reproduced: `search_ground_state`
+(`tnac4o/tnac4o.py:381-551`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import engine
+from .problems import Problem
+
+logger = logging.getLogger("tnax")
+
+
+# ---------------------------------------------------------------------------
+# contraction context: problem -> device arrays + boundary MPS
+# ---------------------------------------------------------------------------
+
+class ContractionContext:
+    """Padded device-side view of a problem at a given beta + gauges."""
+
+    def __init__(self, problem: Problem, beta: float, gauges=None, dtype=None):
+        if dtype is None:
+            from .config import compute_dtype
+            dtype = compute_dtype()
+        self.problem = problem
+        self.beta = float(beta)
+        self.dtype = dtype
+        self.grid = engine.pad_grid(problem)
+        g = self.grid
+        self.gauges = gauges if gauges is not None else engine.identity_gauges(g)
+        self.Ny, self.Nx = g.Ny, g.Nx
+        self.Np, self.lh, self.lv = g.Np, g.lh, g.lv
+        self.nstates = g.nstates
+        self.dmap = g.dmap          # host copies for vind updates
+        self.rmap = g.rmap
+        self.drindex_host = (g.dmap * g.lh + g.rmap).astype(np.int32)
+        self._build_device_tensors()
+        self.rhoT = None
+
+    def _build_device_tensors(self):
+        g, d = self.grid, self.dtype
+        X = self.gauges
+        B, Wt = engine.peps_rows(
+            jnp.asarray(g.Es, d), jnp.asarray(g.Esl, d), jnp.asarray(g.Esu, d),
+            jnp.asarray(g.dmap), jnp.asarray(g.rmap),
+            jnp.asarray(X["Xl"], d), jnp.asarray(X["Xr"], d),
+            jnp.asarray(X["Xu"], d), jnp.asarray(X["Xd"], d),
+            jnp.asarray(self.beta, d), lh=g.lh, lv=g.lv)
+        self.B = B                  # (Ny, Nx, Np, lh, lv)
+        self.Wt = Wt                # (Ny, Nx, lh, lv, lh, lv)
+        self.drindex = jnp.asarray(self.drindex_host)
+
+    def build_boundary(self, Dmax, tolS, tolV, max_sweeps, graduate):
+        """Boundary-MPS stack rhoT[ny] for ny=0..Ny (trivial at Ny)."""
+        rhoT, lognorms, overlaps, discarded = engine.build_rhoT(
+            self.Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+            max_sweeps=max_sweeps, graduate=graduate)
+        self.rhoT = rhoT            # (Ny+1, Nx, Dmax, lv, Dmax)
+        self.Dmax = Dmax
+        self.rhoT_overlap = np.asarray(overlaps)
+        self.rhoT_discarded = float(np.max(np.asarray(discarded)))
+        return rhoT
+
+    # host-side raw (unshifted) energy tables, float64
+    def energy_tables(self, ny, nx):
+        t = self.problem.site(ny, nx)
+        return t.Es, t.Esl, t.Esu
+
+
+# ---------------------------------------------------------------------------
+# vectorized beam bookkeeping (host)
+# ---------------------------------------------------------------------------
+
+def _pad1(x, M, fill=0):
+    out = np.full((M,) + x.shape[1:], fill, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+def cutoff_select(probf, relative_P_cutoff, pd_max):
+    """Relative-probability cutoff (reference `tnac4o/tnac4o.py:456-465`).
+
+    Returns (order, probf, pd_max)."""
+    order = np.arange(probf.size)
+    if relative_P_cutoff > 0:
+        cutoff = np.max(probf) + np.log2(relative_P_cutoff)
+        keep = max(int((probf > cutoff).sum()), 1)
+        if keep < probf.size:
+            order = probf.argpartition(-keep - 1)
+            pd_max = max(pd_max, probf[order[-keep - 1]])
+            order = order[-keep:]
+            probf = probf[order]
+    return order, probf, pd_max
+
+
+def top_m(prob, M, pd_max):
+    """Keep the M most probable entries (reference `tnac4o/tnac4o.py:518-526`).
+
+    Returns (indices, pd_max)."""
+    if prob.size > M:
+        order = prob.argpartition(-M - 1)
+        pd_max = max(pd_max, prob[order[-M - 1]])
+        return order[-M:], pd_max
+    return np.arange(prob.size), pd_max
+
+
+def merge_by_vind(vind, Eng, prob, deg, min_dEng):
+    """Merge branches with identical boundary-index vectors.
+
+    Vectorized replacement for the reference's `np.unique` + groupby loop
+    (`tnac4o/tnac4o.py:481-515`): the minimum-energy member represents each
+    group, degeneracies of members within ``min_dEng`` of the minimum are
+    summed, and their log2-probabilities averaged.
+
+    Returns (vindn, rep, degn, probn, order, starts, g) where `rep` indexes
+    the input arrays and the last three expose the grouping for the spectrum
+    search's droplet recording.
+    """
+    vindn, inv = np.unique(vind, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    g = inv[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    Eo = Eng[order]
+    Emin = np.minimum.reduceat(Eo, starts)
+    Eming = Emin[g]
+    pos = np.arange(len(g))
+    cand = np.where(Eo == Eming, pos, len(g))
+    rep = order[np.minimum.reduceat(cand, starts)]
+    sel = (Eo - Eming) <= min_dEng
+    dego = np.where(sel, deg[order], 0)
+    degn = np.add.reduceat(dego, starts)
+    nsel = np.add.reduceat(sel.astype(np.int64), starts)
+    probn = np.add.reduceat(np.where(sel, prob[order], 0.0), starts) / nsel
+    return vindn, rep, degn, probn, order, starts, g
+
+
+# ---------------------------------------------------------------------------
+# ground-state search
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SearchResult:
+    energy: np.ndarray
+    probability: np.ndarray
+    degeneracy: int
+    states: np.ndarray
+    discarded_probability: float
+    negative_probability: float
+
+
+def search_ground_state(ctx: ContractionContext, M=2 ** 10,
+                        relative_P_cutoff=1e-6, min_dEng=1e-12,
+                        Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
+                        graduate_truncation=True) -> SearchResult:
+    """Most-probable-state search (reference `search_ground_state`,
+    `tnac4o/tnac4o.py:381-551`)."""
+    t_total = time.time()
+    logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    logger.info("Elapsed: %.2f s", time.time() - t_total)
+
+    Ny, Nx = ctx.Ny, ctx.Nx
+    vind = np.zeros((1, Nx + 1), dtype=np.int32)
+    states = np.zeros((1, Nx * Ny), dtype=np.int32)
+    Eng = np.zeros(1)
+    prob = np.zeros(1)
+    deg = np.ones(1, dtype=np.int64)
+    pd_max, globalmin = -np.inf, 0.0
+
+    D = ctx.Dmax
+    dtype = ctx.dtype
+
+    for ny in range(Ny):
+        t_row = time.time()
+        K = len(prob)
+        uidx_row = _pad1(vind[:, 1:], M)
+        AT_row = ctx.rhoT[ny + 1]
+        Wt_row = ctx.Wt[ny]
+        RRs = engine.row_right_envs(AT_row, Wt_row, jnp.asarray(uidx_row))
+        aidx = np.arange(K, dtype=np.int32)
+        RL = jnp.zeros((M, D), dtype=dtype).at[:, 0].set(1.0)
+
+        for nx in range(Nx):
+            n = int(ctx.nstates[ny, nx])
+            Pn_d, mPn_d = engine.marginal_step(
+                ctx.B[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
+                RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
+                jnp.asarray(_pad1(vind[:, nx], M)),
+                jnp.asarray(_pad1(vind[:, nx + 1], M)),
+                nvalid=n)
+            Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
+            globalmin = min(globalmin, float(np.min(np.asarray(mPn_d[:K]))))
+
+            with np.errstate(divide="ignore"):
+                probf = (np.log2(Pn) + prob[:, None]).ravel()
+
+            order, probf, pd_max = cutoff_select(probf, relative_P_cutoff,
+                                                 pd_max)
+            inds, indc = order // n, (order % n).astype(np.int32)
+            states = states[inds]
+            states[:, ny * Nx + nx] = indc
+            vind = vind[inds]
+            deg = deg[inds]
+            aidx = aidx[inds]
+            Eng = Eng[inds]
+            # exact f64 energy of the newly fixed block
+            Es, Esl, Esu = ctx.energy_tables(ny, nx)
+            Eng = Eng + Es[indc] + Esl[indc, vind[:, nx]] \
+                + Esu[indc, vind[:, nx + 1]]
+            vind[:, nx] = ctx.dmap[ny, nx][indc]
+            vind[:, nx + 1] = ctx.rmap[ny, nx][indc]
+
+            vindn, rep, degn, probn, _, _, _ = merge_by_vind(
+                vind, Eng, probf, deg, min_dEng)
+
+            keep, pd_max = top_m(probn, M, pd_max)
+            vind = vindn[keep]
+            prob = probn[keep]
+            deg = degn[keep]
+            rk = rep[keep]
+            states = states[rk]
+            Eng = Eng[rk]
+            parent = inds[rk].astype(np.int32)
+            aidx = aidx[rk]
+            K = len(prob)
+
+            RL = engine.rl_update(
+                RL[jnp.asarray(_pad1(parent, M))], AT_row[nx],
+                jnp.asarray(_pad1(vind[:, nx], M)))
+
+        logger.info("Row %d/%d: %d branches, %.2f s", ny + 1, Ny, K,
+                    time.time() - t_row)
+        vind[:, 1:] = vind[:, :-1]
+        vind[:, 0] = 0
+
+    logger.info("Search total: %.2f s", time.time() - t_total)
+    return SearchResult(
+        energy=Eng, probability=prob, degeneracy=int(deg[0]),
+        states=states, discarded_probability=float(pd_max),
+        negative_probability=min(globalmin, 0.0))

@@ -1,0 +1,303 @@
+"""Solver facade mirroring the reference public API.
+
+``tnax.Solver`` (alias ``tnax.tnac4o``) exposes the same constructor and
+methods as the reference class (reference `tnac4o/tnac4o.py:78-233`):
+``search_ground_state``, ``gibbs_sampling``, ``search_low_energy_spectrum``,
+``decode_low_energy_states``, ``precondition``, ``rotate_graph``,
+``add_noise``, ``binary_states``, ``save`` / module-level ``load``, and the
+result attributes (energy, probability, degeneracy, states,
+discarded_probability, negative_probability, ...). A user of the reference
+can switch imports and keep their scripts.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from . import search as _search
+from . import config as _config
+from .problems import IsingProblem, RMFProblem
+
+logger = logging.getLogger("tnax")
+
+
+class Solver:
+    """Heuristic tensor-network solver for quasi-2D Ising / RMF problems.
+
+    Args mirror the reference (`tnac4o/tnac4o.py:145-198`):
+      mode: 'Ising' or 'RMF'.
+      Nx, Ny, Nc: lattice shape (Nc spins per block, Ising only).
+      beta: inverse temperature of the Gibbs PEPS.
+      J: couplings — [[i, j, Jij], ...] for Ising, factor dict for RMF.
+    """
+
+    def __init__(self, mode="Ising", Nx=4, Ny=4, Nc=8, beta=1, J=None):
+        _config.ensure_precision()
+        self.mode = mode
+        self.beta = beta
+        self.Nx_model, self.Ny_model = Nx, Ny
+        self.Nc = Nc if mode == "Ising" else 1
+        self.L = Nx * Ny * self.Nc
+        self.logger = logger
+        self.rotation = 0
+        self.order = np.arange(Nx * Ny)
+        self.order_i = np.arange(Nx * Ny)
+        self.energy = np.zeros(0)
+        self.probability = np.zeros(0)
+        self.degeneracy = 0
+        self.states = np.zeros((0, Nx * Ny), dtype=np.int32)
+        self.discarded_probability = 0.0
+        self.negative_probability = 0.0
+        self.problem = None
+        self._gauges = None
+
+        if J is not None:
+            if mode == "Ising":
+                self.problem = IsingProblem(Nx=Nx, Ny=Ny, Nc=Nc, J=J)
+                self.J = self.problem.J
+                self.J0 = self.problem.J.copy()
+                self.ind0 = [[self.problem.ind[ny][nx] for nx in range(Nx)]
+                             for ny in range(Ny)]
+            elif mode == "RMF":
+                self.problem = RMFProblem(Nx=Nx, Ny=Ny, J=J)
+                self.J = self.problem.J
+                self.ind0 = []
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+
+    # -- geometry -----------------------------------------------------------
+    @property
+    def Nx(self):
+        return self.problem.Nx if self.problem else self.Nx_model
+
+    @property
+    def Ny(self):
+        return self.problem.Ny if self.problem else self.Ny_model
+
+    def rotate_graph(self, rot=1):
+        """Cumulative 90-degree rotations (reference
+        `tnac4o/tnac4o.py:290-340`)."""
+        for _ in range(rot):
+            self.rotation = (self.rotation + 1) % 4
+            order_i = self.problem.rotate()
+            self.order = order_i[self.order]
+        self.order_i[self.order] = np.arange(self.Nx * self.Ny)
+        if self.mode == "Ising":
+            self.J = self.problem.J
+        self._gauges = None  # reference resets gauges via _divide_couplings
+
+    def add_noise(self, amplitude=1e-7):
+        """Small random noise on couplings to lift accidental degeneracies
+        (reference `tnac4o/tnac4o.py:917-941`)."""
+        self.logger.info("Adding noise with amplitude %.2e", amplitude)
+        self.problem.add_noise(amplitude)
+        if self.mode == "Ising":
+            self.J = self.problem.J
+            self._gauges = None
+
+    # -- contraction context ------------------------------------------------
+    def _context(self):
+        ctx = _search.ContractionContext(self.problem, self.beta,
+                                         gauges=self._gauges)
+        self._gauges = ctx.gauges
+        return ctx
+
+    # -- solvers ------------------------------------------------------------
+    def precondition(self, mode="balancing", steps=2, beta_cond=None,
+                     Dmax_cond=None, max_scale=1024,
+                     graduate_truncation=False, tolS=1e-16, tolV=1e-10,
+                     max_sweeps=20):
+        """Balancing preconditioner (reference `tnac4o/tnac4o.py:342-379`)."""
+        from . import precondition as _pre
+        if mode != "balancing":
+            raise ValueError("only mode='balancing' is implemented")
+        if not beta_cond:
+            beta_cond = [self.beta * 2.0 ** (nn - steps) for nn in range(steps)]
+        if not Dmax_cond:
+            Dmax_cond = [8] * len(beta_cond)
+        if self._gauges is None:
+            from . import engine as _engine
+            grid = _engine.pad_grid(self.problem)
+            self._gauges = _engine.identity_gauges(grid)
+        for beta, D in zip(beta_cond, Dmax_cond):
+            self.logger.info("Preconditioning with beta = %.2f", beta)
+            self._gauges = _pre.balance_ud(
+                self.problem, beta, self._gauges, Dmax=D,
+                graduate_truncation=graduate_truncation, tolS=tolS, tolV=tolV,
+                max_sweeps=max_sweeps, max_scale=max_scale)
+
+    def search_ground_state(self, M=2 ** 10, relative_P_cutoff=1e-6,
+                            min_dEng=1e-12, graduate_truncation=True,
+                            Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20):
+        """Branch-and-bound most-probable-state search (reference
+        `tnac4o/tnac4o.py:381-551`). Returns the lowest energy found."""
+        ctx = self._context()
+        res = _search.search_ground_state(
+            ctx, M=M, relative_P_cutoff=relative_P_cutoff, min_dEng=min_dEng,
+            Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+            graduate_truncation=graduate_truncation)
+        self.energy = res.energy
+        self.probability = res.probability
+        self.degeneracy = res.degeneracy
+        self.states = res.states[:, self.order]
+        self.discarded_probability = res.discarded_probability
+        self.negative_probability = res.negative_probability
+        return self.energy
+
+    def gibbs_sampling(self, M=2 ** 10, graduate_truncation=True, Dmax=32,
+                       tolS=1e-15, tolV=1e-10, max_sweeps=20):
+        """Sample M configurations from the Gibbs distribution (reference
+        `tnac4o/tnac4o.py:553-650`). Returns sampled energies."""
+        from . import sample as _sample
+        ctx = self._context()
+        res = _sample.gibbs_sampling(
+            ctx, M=M, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+            graduate_truncation=graduate_truncation)
+        self.energy = res.energy
+        self.probability = np.zeros(1)
+        self.degeneracy = 0
+        self.states = res.states[:, self.order]
+        self.discarded_probability = 0
+        self.negative_probability = res.negative_probability
+        return self.energy
+
+    def search_low_energy_spectrum(self, excitations_encoding=1, M=2 ** 10,
+                                   relative_P_cutoff=1e-6, max_dEng=0.0,
+                                   lim_hd=0, min_dEng=1e-12,
+                                   graduate_truncation=True, Dmax=32,
+                                   tolS=1e-16, tolV=1e-10, max_sweeps=20):
+        """Low-energy spectrum search recording droplet structure (reference
+        `tnac4o/tnac4o.py:652-725`)."""
+        from . import spectrum as _spec
+        ctx = self._context()
+        self.excitations_encoding = excitations_encoding
+        res = _spec.search_spectrum(
+            self, ctx, excitations_encoding, M=M,
+            relative_P_cutoff=relative_P_cutoff, max_dEng=max_dEng,
+            lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS, tolV=tolV,
+            max_sweeps=max_sweeps, graduate_truncation=graduate_truncation)
+        self.energy = res.energy
+        self.probability = res.probability
+        self.degeneracy = res.degeneracy
+        self.states = res.states[:, self.order]
+        self.discarded_probability = res.discarded_probability
+        self.negative_probability = res.negative_probability
+        return self.energy
+
+    def decode_low_energy_states(self, max_dEng=0.0, max_states=1024):
+        """Expand the droplet tree into explicit low-energy states
+        (reference `tnac4o/tnac4o.py:1360-1389`)."""
+        from . import spectrum as _spec
+        return _spec.decode_low_energy_states(self, max_dEng=max_dEng,
+                                              max_states=max_states)
+
+    # -- decode / io --------------------------------------------------------
+    def binary_states(self, number=-1):
+        """States as spin bit-strings: 1=up, 0=down, 2=inactive
+        (reference `tnac4o/tnac4o.py:261-288`)."""
+        ns = self.states.shape[0]
+        ns = ns + number + 1 if number < 0 else min(number, ns)
+        if self.mode == "Ising":
+            return self.problem.decode_states(self.states[:ns], self.ind0,
+                                              self.L) if self.problem else \
+                _decode_from_ind0(self.states[:ns], self.ind0, self.L)
+        return self.states[:ns]
+
+    def save(self, file_name):
+        """Persist results in the reference's .npy dict format
+        (`tnac4o/tnac4o.py:200-233`) — files round-trip with the reference."""
+        d = {
+            "mode": self.mode, "rotation": self.rotation,
+            "energy": self.energy, "probability": self.probability,
+            "degeneracy": self.degeneracy, "states": self.states,
+            "discarded_probability": self.discarded_probability,
+            "negative_probability": self.negative_probability,
+            "Nx": self.Nx_model, "Ny": self.Ny_model, "Nc": self.Nc,
+            "beta": self.beta,
+        }
+        if self.mode == "Ising":
+            d["ind"] = self.ind0
+        if hasattr(self, "excitations_encoding"):
+            d["excitations_encoding"] = self.excitations_encoding
+            d["d"] = self.d
+            d["invd"] = self.invd
+            d["el"] = self.el
+            d["free_d"] = self.free_d
+            if self.excitations_encoding > 1 and self.mode == "Ising":
+                import scipy.sparse
+                d["adj"] = scipy.sparse.csr_matrix(self.adj)
+        np.save(file_name, d)
+
+    # -- display ------------------------------------------------------------
+    def show_properties(self):
+        print("L:     ", self.L)
+        print("Ny:    ", self.Ny)
+        print("Nx:    ", self.Nx)
+        print("Beta:  ", self.beta)
+
+    def show_solution(self, state=False):
+        if len(self.energy) > 0:
+            print("Energy            : %4.6f" % self.energy[0])
+            print("Degeneracy        : %2d" % self.degeneracy)
+            print("log2(Probability) : %0.2e" % self.probability[0])
+            print("Discarder log2(P) : %0.2e" % self.discarded_probability)
+            print("Min P (err)       : %0.2e" % self.negative_probability)
+            print("# of states       : %1d" % len(self.energy))
+            print("Rotation/direction: %1d" % self.rotation)
+            if state:
+                print(self.states[0])
+        else:
+            print("No solution to show.")
+
+    def exc_print(self):
+        from . import spectrum as _spec
+        _spec.exc_print(self)
+
+
+def _decode_from_ind0(states, ind0, L):
+    from .problems import block_bits
+    ns = states.shape[0]
+    out = np.full((ns, L), 2, dtype=np.int8)
+    kk = -1
+    for row in ind0:
+        for act in row:
+            kk += 1
+            act = np.asarray(act)
+            if act.size == 0:
+                continue
+            conf = 1 - block_bits(len(act))
+            out[:, act] = conf[states[:ns, kk]]
+    return out
+
+
+def load(file_name):
+    """Load a result saved by :meth:`Solver.save` (or by the reference's
+    `save`) — reference `load` (`tnac4o/tnac4o.py:31-75`)."""
+    d = np.load(file_name, allow_pickle=True).item()
+    ins = Solver(mode=d["mode"], Nx=d["Nx"], Ny=d["Ny"], Nc=d["Nc"],
+                 beta=d["beta"])
+    ins.energy = d["energy"]
+    ins.probability = d["probability"]
+    ins.degeneracy = d["degeneracy"]
+    ins.states = d["states"]
+    ins.discarded_probability = d["discarded_probability"]
+    ins.negative_probability = d["negative_probability"]
+    if d["mode"] == "Ising":
+        ins.ind0 = d.get("ind")
+    if "excitations_encoding" in d:
+        ins.excitations_encoding = d["excitations_encoding"]
+        ins.d = d["d"]
+        ins.invd = d["invd"]
+        ins.el = d["el"]
+        ins.free_d = d["free_d"]
+        if ins.excitations_encoding > 1:
+            from . import spectrum as _spec
+            adj = d.get("adj")
+            _spec.reset_adjacency_from_saved(ins, adj)
+    return ins
+
+
+# reference-compatible alias
+tnac4o = Solver
