@@ -1,0 +1,553 @@
+"""Low-energy spectrum search and droplet (excitation) machinery.
+
+During the branch-and-bound search, whenever two branches with identical
+boundary-index vectors merge, the losing branch differs from the winner by a
+localized cluster of flipped variables — a "droplet". Recording droplets
+hierarchically reconstructs the full low-energy spectrum from a single
+search. Three encodings of droplet independence are supported, mirroring the
+reference exactly (reference `tnac4o/tnac4o.py:652-725`):
+
+  1. snake order     (`_search_low_energy_spectrum_v1`, `:727-915`)
+  2. adjacency graph (`_search_low_energy_spectrum_v2`, `:943-1131`)
+  3. adjacency graph, flattened to one hierarchy layer (`_v3`, `:1133-1358`)
+
+The droplet store lives on the solver instance for save/load parity with the
+reference: ``d`` (shape dictionary), ``invd`` (semi-hash inverse), ``el``
+(per-branch excitation trees), ``free_d`` (next free key), ``adj``
+(adjacency), ``xor2ind`` (cluster-XOR -> flipped spin ids). Tree nodes are
+``((dEng, key[, first, last, dP]), (children...))`` tuples, identical to the
+reference format so that `.npy` files round-trip between implementations.
+
+All tensor work (marginals, environments) runs on device exactly as in the
+ground-state search; the droplet bookkeeping is host-side pointer-chasing by
+nature and stays in Python/NumPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+
+from . import engine
+from .problems import block_bits
+from .search import (ContractionContext, _pad1, cutoff_select, top_m,
+                     merge_by_vind, SearchResult)
+
+logger = logging.getLogger("tnax")
+
+
+# ---------------------------------------------------------------------------
+# droplet store primitives (reference tnac4o/tnac4o.py:2012-2423)
+# ---------------------------------------------------------------------------
+
+def exc_init(ins):
+    """Reference `_exc_initialise` (`tnac4o/tnac4o.py:2012-2019`)."""
+    ins.d = {}
+    ins.invd = {}
+    ins.el = [[]]
+    ins.free_d = 0
+
+
+def _semihash(dpos, dstate):
+    """Cheap shape fingerprint (reference `_exc_get_sh`,
+    `tnac4o/tnac4o.py:2270-2275`)."""
+    return (dpos[0], dstate[0], dpos[-1], dstate[-1])
+
+
+def exc_register(ins, dpos, dstate):
+    """Deduplicating insert into the shape dictionary; returns the key
+    (reference `_exc_add_to_d`, `tnac4o/tnac4o.py:2051-2069`)."""
+    sh = _semihash(dpos, dstate)
+    key = ins.free_d
+    if sh in ins.invd:
+        for cand in ins.invd[sh]:
+            cp, cs = ins.d[cand]
+            if np.array_equal(dpos, cp) and np.array_equal(dstate, cs):
+                return cand
+        ins.invd[sh].append(key)
+    else:
+        ins.invd[sh] = [key]
+    ins.d[key] = (dpos, dstate)
+    ins.free_d += 1
+    return key
+
+
+def exc_prune_energy(exc, max_dE):
+    """Drop sub-excitations that exceed the remaining energy budget,
+    recursively (reference `_exc_cut_energy`, `tnac4o/tnac4o.py:2071-2079`)."""
+    kept = tuple(exc_prune_energy(se, max_dE - se[0][0])
+                 for se in exc[1] if se[0][0] <= max_dE)
+    return (exc[0], kept)
+
+
+def exc_gc(ins):
+    """Garbage-collect unused shapes (reference `_exc_clear_d`,
+    `tnac4o/tnac4o.py:2249-2268`)."""
+    live = set()
+
+    def walk(tree):
+        for exc in tree:
+            live.add(exc[0][1])
+            walk(exc[1])
+
+    for bel in ins.el:
+        walk(bel)
+    nd, ninvd = {}, {}
+    for k in live:
+        nd[k] = ins.d[k]
+        sh = _semihash(*ins.d[k])
+        ninvd.setdefault(sh, []).append(k)
+    ins.d, ins.invd = nd, ninvd
+
+
+def reset_adjacency(ins, J, Nx, Ny, ind):
+    """Adjacency matrix + cluster-XOR decode tables (reference `_reset_adj`,
+    `tnac4o/tnac4o.py:2021-2041`)."""
+    if ins.mode == "Ising":
+        adj = (scipy.sparse.triu(J, 1) != 0)
+        ins.adj = (adj + adj.T).toarray()
+        ins.xor2ind = []
+        for ny in range(Ny):
+            for nx in range(Nx):
+                act = np.asarray(ind[ny][nx])
+                bits = block_bits(len(act)).astype(bool)
+                ins.xor2ind.append([act[bits[i]] for i in range(2 ** len(act))])
+    else:
+        ins.adj_Nx, ins.adj_Ny = Nx, Ny
+
+
+def reset_adjacency_from_saved(ins, adj):
+    """Rebuild adjacency helpers after `load` (reference `load`,
+    `tnac4o/tnac4o.py:60-72`)."""
+    if ins.mode == "Ising":
+        reset_adjacency(ins, adj, ins.Nx_model, ins.Ny_model, ins.ind0)
+    else:
+        ins.adj_Nx, ins.adj_Ny = ins.Nx_model, ins.Ny_model
+
+
+def _flipped_spins(ins, dpos, dstate):
+    """Global ids of flipped spins (reference `_exc_xor2ind`,
+    `tnac4o/tnac4o.py:2081-2085`)."""
+    return np.hstack([ins.xor2ind[p][s] for p, s in zip(dpos, dstate)])
+
+
+def exc_elementary(ins, dpos, dstate):
+    """Is the droplet single-connected? (reference `_exc_elementary`,
+    `tnac4o/tnac4o.py:2087-2114`)."""
+    if ins.mode == "Ising":
+        spins = _flipped_spins(ins, dpos, dstate)
+        grp, rest = spins[:1], spins[1:]
+        while grp.size and rest.size:
+            hit = np.any(ins.adj[grp][:, rest], axis=0)
+            grp, rest = rest[hit], rest[~hit]
+        return rest.size == 0
+    grp, rest = dpos[:1], dpos[1:]
+    while grp.size and rest.size:
+        gx, gy = grp % ins.adj_Nx, grp // ins.adj_Nx
+        rx, ry = rest % ins.adj_Nx, rest // ins.adj_Nx
+        dist = np.abs(gx[:, None] - rx[None, :]) + \
+            np.abs(gy[:, None] - ry[None, :])
+        hit = np.any(dist == 1, axis=0)
+        grp, rest = rest[hit], rest[~hit]
+    return rest.size == 0
+
+
+def _shape_of(ins, e):
+    return ins.d[e] if isinstance(e, (int, np.integer)) else e
+
+
+def exc_overlap(ins, e1, e2):
+    """Do two droplets interact? (reference `_exc_overlap`,
+    `tnac4o/tnac4o.py:2116-2141`)."""
+    s1, s2 = _shape_of(ins, e1), _shape_of(ins, e2)
+    if ins.mode == "Ising":
+        i1 = _flipped_spins(ins, *s1)
+        i2 = _flipped_spins(ins, *s2)
+        return bool(np.any(ins.adj[i1][:, i2]))
+    p1, p2 = s1[0], s2[0]
+    x1, y1 = p1 % ins.adj_Nx, p1 // ins.adj_Nx
+    x2, y2 = p2 % ins.adj_Nx, p2 // ins.adj_Nx
+    dist = np.abs(x1[:, None] - x2[None, :]) + np.abs(y1[:, None] - y2[None, :])
+    return bool(np.any(dist <= 1))
+
+
+def exc_hd(ins, dstate):
+    """Droplet size metric used by lim_hd (reference `_exc_hd`,
+    `tnac4o/tnac4o.py:2143-2150`)."""
+    if ins.mode == "Ising":
+        return len(dstate)
+    return int(sum(bin(int(s)).count("1") for s in dstate))
+
+
+def exc_hd_pair(ins, e1, e2):
+    """Hamming distance between two droplets (reference `_exc_hd_comp`,
+    `tnac4o/tnac4o.py:2152-2196`)."""
+    (p1, s1), (p2, s2) = _shape_of(ins, e1), _shape_of(ins, e2)
+    l1, l2 = len(p1), len(p2)
+    n1 = n2 = hd = 0
+    if ins.mode == "Ising":
+        while n1 < l1 and n2 < l2:
+            if p1[n1] == p2[n2]:
+                hd += bin(int(s1[n1]) ^ int(s2[n2])).count("1")
+                n1 += 1
+                n2 += 1
+            elif p1[n1] < p2[n2]:
+                hd += bin(int(s1[n1])).count("1")
+                n1 += 1
+            else:
+                hd += bin(int(s2[n2])).count("1")
+                n2 += 1
+        hd += sum(bin(int(s)).count("1") for s in s1[n1:])
+        hd += sum(bin(int(s)).count("1") for s in s2[n2:])
+    else:
+        while n1 < l1 and n2 < l2:
+            if p1[n1] == p2[n2]:
+                if s1[n1] != s2[n2]:
+                    hd += 1
+                n1 += 1
+                n2 += 1
+            elif p1[n1] < p2[n2]:
+                n1 += 1
+                hd += 1
+            else:
+                n2 += 1
+                hd += 1
+        if n1 < l1:
+            hd += l1 - n1
+        elif n2 < l2:
+            hd += l2 - n2
+    return hd
+
+
+def exc_merge_shapes(ins, e1, e2):
+    """XOR-combine two droplets into one sorted shape (reference
+    `_exc_merge`, `tnac4o/tnac4o.py:2198-2247`)."""
+    (p1, s1), (p2, s2) = _shape_of(ins, e1), _shape_of(ins, e2)
+    pos, st = [], []
+    n1 = n2 = 0
+    while n1 < len(p1) and n2 < len(p2):
+        if p1[n1] == p2[n2]:
+            x = int(s1[n1]) ^ int(s2[n2])
+            if x:
+                pos.append(p1[n1])
+                st.append(x)
+            n1 += 1
+            n2 += 1
+        elif p1[n1] < p2[n2]:
+            pos.append(p1[n1])
+            st.append(s1[n1])
+            n1 += 1
+        else:
+            pos.append(p2[n2])
+            st.append(s2[n2])
+            n2 += 1
+    pos.extend(p1[n1:])
+    st.extend(s1[n1:])
+    pos.extend(p2[n2:])
+    st.extend(s2[n2:])
+    return np.asarray(pos, dtype=np.int64), np.asarray(st, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# unpacking the tree into explicit excitation energies / flip lists
+# ---------------------------------------------------------------------------
+
+def unpack_v1(ins, el, max_dEng=0.0, max_states=np.inf):
+    """Snake-order unpack (reference `_exc_unpack_v1`,
+    `tnac4o/tnac4o.py:2295-2335`)."""
+    Eng = [0.0]
+    flip = [[]]
+    root = ((0.0, 0, -1, ins.Nx_model * ins.Ny_model - 1, 1), tuple(el))
+    stacks = [[root]]
+    for site in range(ins.Nx_model * ins.Ny_model - 1, -1, -1):
+        kk = 0
+        while kk < len(Eng):
+            for child in stacks[kk][-1][1]:
+                last = child[0][3]
+                if last == site and Eng[kk] + child[0][0] <= max_dEng:
+                    Eng.append(Eng[kk] + child[0][0])
+                    flip.append(flip[kk] + [child[0][1]])
+                    stacks.append(stacks[kk] + [child])
+                elif last > site:
+                    break
+            kk += 1
+        if len(Eng) > max_states:
+            keep = np.array(Eng).argpartition(max_states)[:max_states]
+            Eng = [Eng[i] for i in keep]
+            flip = [flip[i] for i in keep]
+            stacks = [stacks[i] for i in keep]
+        for kk in range(len(Eng)):
+            while stacks[kk][-1][0][2] >= site:
+                stacks[kk].pop()
+    return np.array(Eng), flip
+
+
+def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
+    """Graph-independence unpack (reference `_exc_unpack_v2`,
+    `tnac4o/tnac4o.py:2337-2377`)."""
+    Eng = [0.0]
+    pending = [list(excs)]
+    flip = [[]]
+    progressed = True
+    while progressed:
+        progressed = False
+        kk = 0
+        while kk < len(Eng):
+            if pending[kk]:
+                exc = pending[kk].pop()
+                if Eng[kk] + exc[0][0] <= max_dEng:
+                    Eng.append(Eng[kk] + exc[0][0])
+                    flip.append(flip[kk] + [exc[0][1]])
+                    rest = [x for x in pending[kk]
+                            if not exc_overlap(ins, x[0][1], exc[0][1])]
+                    pending.append(rest)
+                    if not one_layer:
+                        rest.extend(list(exc[1]))
+                    progressed = True
+            kk += 1
+        if len(Eng) > max_states:
+            keep = np.array(Eng).argpartition(max_states)[:max_states]
+            Eng = [Eng[i] for i in keep]
+            flip = [flip[i] for i in keep]
+            pending = [pending[i] for i in keep]
+    return np.array(Eng), flip
+
+
+def unpack(ins, max_dEng=0.0, max_states=np.inf):
+    if ins.excitations_encoding == 1:
+        return unpack_v1(ins, ins.el, max_dEng, max_states)
+    if ins.excitations_encoding == 2:
+        return unpack_v2(ins, ins.el, max_dEng, max_states)
+    return unpack_v2(ins, ins.el, max_dEng, max_states, one_layer=True)
+
+
+def decode_low_energy_states(ins, max_dEng=0.0, max_states=1024):
+    """Expand the droplet tree into explicit states (reference
+    `decode_low_energy_states`, `tnac4o/tnac4o.py:1360-1389`)."""
+    Eng, flip = unpack(ins, max_dEng=max_dEng, max_states=max_states)
+    gs = ins.states[0]
+    order = Eng.argsort()
+    Eng = Eng[order]
+    nst = min(max_states, len(Eng))
+    states = np.zeros((nst, len(gs)), dtype=ins.states.dtype)
+    for ii in range(nst):
+        st = gs.copy()
+        for key in flip[order[ii]]:
+            dpos, dstate = ins.d[key]
+            st[dpos] = np.bitwise_xor(st[dpos], dstate)
+        states[ii] = st
+    ins.energy = Eng + ins.energy[0]
+    ins.states = states
+    return Eng[0]
+
+
+def exc_print(ins, el=None, layer=1):
+    """Display the excitation tree (reference `exc_print`,
+    `tnac4o/tnac4o.py:2406-2423`)."""
+    el = ins.el if el is None else el
+    for exc in el:
+        dpos, dstate = ins.d[exc[0][1]]
+        print((3 * layer - 3) * " " + "|- %0.4f " % exc[0][0] + " : "
+              + " ".join(map(str, dpos)) + " | " + " ".join(map(str, dstate)))
+        exc_print(ins, exc[1], layer + 1)
+
+
+# ---------------------------------------------------------------------------
+# spectrum search
+# ---------------------------------------------------------------------------
+
+def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
+                    M=2 ** 10, relative_P_cutoff=1e-6, max_dEng=0.0,
+                    lim_hd=0, min_dEng=1e-12, Dmax=32, tolS=1e-16,
+                    tolV=1e-10, max_sweeps=20,
+                    graduate_truncation=True) -> SearchResult:
+    """Beam search with droplet recording at merges.
+
+    One loop implements all three encodings; only the recording step differs
+    (reference `_search_low_energy_spectrum_v{1,2,3}`,
+    `tnac4o/tnac4o.py:727-1358`).
+    """
+    ee = excitations_encoding
+    t_total = time.time()
+    logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    logger.info("Elapsed: %.2f s", time.time() - t_total)
+
+    Ny, Nx = ctx.Ny, ctx.Nx
+    vind = np.zeros((1, Nx + 1), dtype=np.int32)
+    states = np.zeros((1, Nx * Ny), dtype=np.int32)
+    Eng = np.zeros(1)
+    prob = np.zeros(1)
+    deg = np.ones(1, dtype=np.int64)
+    pd_max, globalmin = -np.inf, 1.0
+    exc_init(ins)
+    if ee > 1:
+        reset_adjacency(ins, ins.problem.J if ins.mode == "Ising" else None,
+                        Nx, Ny,
+                        ins.problem.ind if ins.mode == "Ising" else None)
+
+    D, dtype = Dmax, ctx.dtype
+
+    for ny in range(Ny):
+        t_row = time.time()
+        K = len(prob)
+        AT_row = ctx.rhoT[ny + 1]
+        RRs = engine.row_right_envs(AT_row, ctx.Wt[ny],
+                                    jnp.asarray(_pad1(vind[:, 1:], M)))
+        aidx = np.arange(K, dtype=np.int32)
+        RL = jnp.zeros((M, D), dtype=dtype).at[:, 0].set(1.0)
+
+        for nx in range(Nx):
+            n = int(ctx.nstates[ny, nx])
+            Pn_d, mPn_d = engine.marginal_step(
+                ctx.B[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
+                RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
+                jnp.asarray(_pad1(vind[:, nx], M)),
+                jnp.asarray(_pad1(vind[:, nx + 1], M)), nvalid=n)
+            Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
+            globalmin = min(globalmin, float(np.min(np.asarray(mPn_d[:K]))))
+
+            with np.errstate(divide="ignore"):
+                probf = (np.log2(Pn) + prob[:, None]).ravel()
+
+            order, probf, pd_max = cutoff_select(probf, relative_P_cutoff,
+                                                 pd_max)
+            inds, indc = order // n, (order % n).astype(np.int32)
+            states = states[inds]
+            states[:, ny * Nx + nx] = indc
+            vind = vind[inds]
+            deg = deg[inds]
+            aidx = aidx[inds]
+            Eng = Eng[inds]
+            Es, Esl, Esu = ctx.energy_tables(ny, nx)
+            Eng = Eng + Es[indc] + Esl[indc, vind[:, nx]] \
+                + Esu[indc, vind[:, nx + 1]]
+            vind[:, nx] = ctx.dmap[ny, nx][indc]
+            vind[:, nx + 1] = ctx.rmap[ny, nx][indc]
+
+            vindn, rep, degn, probn, gorder, starts, g = merge_by_vind(
+                vind, Eng, probf, deg, min_dEng)
+            ends = np.r_[starts[1:], len(g)]
+            keep, pd_max = top_m(probn, M, pd_max)
+
+            # droplet recording: losers of each kept merge group
+            new_el = []
+            for kk in keep:
+                members = gorder[starts[kk]:ends[kk]]
+                rep_kk = rep[kk]
+                E_kk = Eng[rep_kk]
+                bel = ins.el[inds[rep_kk]][:]
+                if ee == 3:
+                    fresh = []
+                for ii in members:
+                    cdE = Eng[ii] - E_kk
+                    if cdE > max_dEng or ii == rep_kk:
+                        continue
+                    dfull = np.bitwise_xor(states[rep_kk], states[ii])
+                    dpos = np.flatnonzero(dfull)
+                    dstate = dfull[dpos].astype(np.int64)
+                    dpos = dpos.astype(np.int64)
+                    if ee == 1:
+                        if lim_hd > 1 and exc_hd(ins, dstate) < lim_hd:
+                            continue
+                        dfirst = int(dpos[0])
+                        dlast = Nx * ny + nx
+                        dP = probf[ii] - probn[kk]
+                        di = exc_register(ins, dpos, dstate)
+                        sel = [exc_prune_energy(sne,
+                                                max_dEng - (sne[0][0] + cdE))
+                               for sne in ins.el[inds[ii]]
+                               if sne[0][3] >= dfirst
+                               and sne[0][0] + cdE <= max_dEng]
+                        bel.append(((cdE, di, dfirst, dlast, dP), tuple(sel)))
+                    elif ee == 2:
+                        if (lim_hd > 1 and exc_hd(ins, dstate) < lim_hd) or \
+                                not exc_elementary(ins, dpos, dstate):
+                            continue
+                        di = exc_register(ins, dpos, dstate)
+                        sel = [exc_prune_energy(sne,
+                                                max_dEng - (sne[0][0] + cdE))
+                               for sne in ins.el[inds[ii]]
+                               if sne[0][0] + cdE <= max_dEng
+                               and exc_overlap(ins, di, sne[0][1])]
+                        bel.append(((cdE, di), tuple(sel)))
+                    else:  # ee == 3: flatten hierarchy to one layer
+                        nsel = [sne for sne in ins.el[inds[ii]]
+                                if sne[0][0] + cdE <= max_dEng
+                                and exc_overlap(ins, (dpos, dstate),
+                                                sne[0][1])]
+                        sEng, sflip = unpack_v2(ins, nsel, max_dEng - cdE,
+                                                one_layer=True)
+                        for nn in range(len(sEng)):
+                            sub = (dpos, dstate)
+                            for sdi in sflip[nn]:
+                                sub = exc_merge_shapes(ins, sub, sdi)
+                            if (lim_hd <= 1
+                                    or exc_hd(ins, sub[1]) >= lim_hd) \
+                                    and exc_elementary(ins, *sub):
+                                sdi = exc_register(ins, *sub)
+                                fresh.append(((sEng[nn] + cdE, sdi), ()))
+                if ee == 3:
+                    bel.extend(sorted(fresh, key=lambda x: x[0][0]))
+                new_el.append(bel)
+
+            vind = vindn[keep]
+            prob = probn[keep]
+            deg = degn[keep]
+            rk = rep[keep]
+            states = states[rk]
+            Eng = Eng[rk]
+            parent = inds[rk].astype(np.int32)
+            aidx = aidx[rk]
+            ins.el = new_el
+            K = len(prob)
+
+            RL = engine.rl_update(
+                RL[jnp.asarray(_pad1(parent, M))], AT_row[nx],
+                jnp.asarray(_pad1(vind[:, nx], M)))
+            if ee < 3:
+                exc_gc(ins)
+        if ee == 3:
+            exc_gc(ins)
+        logger.info("Row %d/%d: %d branches, %d shapes, %.2f s", ny + 1, Ny,
+                    K, len(ins.d), time.time() - t_row)
+        vind[:, 1:] = vind[:, :-1]
+        vind[:, 0] = 0
+
+    if ee == 3:
+        # greedy Hamming-distance dedup, sorted by energy
+        # (reference tnac4o/tnac4o.py:1323-1338)
+        bel = sorted(ins.el[0], key=lambda x: x[0][0])
+        if lim_hd > 1:
+            distinct = []
+            for x in bel:
+                if all(exc_hd_pair(ins, x[0][1], y[0][1]) >= lim_hd
+                       for y in distinct):
+                    distinct.append(x)
+            ins.el[0] = distinct
+        else:
+            ins.el[0] = bel
+        exc_gc(ins)
+
+    logger.info("Spectrum search total: %.2f s", time.time() - t_total)
+    ins.el = ins.el[0]
+    # remap shape positions to the unrotated cluster order
+    # (reference tnac4o/tnac4o.py:907-914)
+    for key, (dpos, dstate) in ins.d.items():
+        dpos = ins.order_i[dpos]
+        srt = dpos.argsort()
+        ins.d[key] = (dpos[srt], dstate[srt])
+    if ee > 1:
+        reset_adjacency(ins, ins.J0 if ins.mode == "Ising" else None,
+                        ins.Nx_model, ins.Ny_model,
+                        ins.ind0 if ins.mode == "Ising" else None)
+
+    return SearchResult(
+        energy=Eng, probability=prob, degeneracy=int(deg[0]), states=states,
+        discarded_probability=float(pd_max),
+        negative_probability=min(globalmin, 0.0))
