@@ -1,0 +1,151 @@
+"""Exact brute-force parity of the search/sampling on small instances."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import tnax
+from tnax.problems import energy_Jij, energy_RMF
+
+
+def make_chimera_like(rng, Nx, Ny, Nc, intra=True, field=True):
+    L = Nx * Ny * Nc
+    J = []
+    for i in range(L):
+        if field:
+            J.append([i, i, float(rng.normal())])
+    for ny in range(Ny):
+        for nx in range(Nx):
+            b = Nc * (Nx * ny + nx)
+            for a in range(Nc):
+                if intra:
+                    for c in range(a + 1, Nc):
+                        J.append([b + a, b + c, float(rng.normal())])
+                if nx + 1 < Nx:
+                    for c in range(Nc):
+                        J.append([b + a, Nc * (Nx * ny + nx + 1) + c,
+                                  float(rng.normal())])
+                if ny + 1 < Ny:
+                    for c in range(Nc):
+                        J.append([b + a, Nc * (Nx * (ny + 1) + nx) + c,
+                                  float(rng.normal())])
+    return J
+
+
+def brute_force_min(J, L):
+    bits = ((np.arange(2 ** L)[:, None] >> np.arange(L)[None, :]) & 1)
+    E = energy_Jij(J, 1 - bits)
+    return E.min(), E
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gs_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    Nx, Ny, Nc = 2, 2, 2
+    L = Nx * Ny * Nc
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    Eng = ins.search_ground_state(M=64, relative_P_cutoff=1e-12, Dmax=8)
+    Emin, _ = brute_force_min(J, L)
+    assert Eng[0] == pytest.approx(Emin, abs=1e-9)
+    assert energy_Jij(J, ins.binary_states())[0] == pytest.approx(Emin,
+                                                                  abs=1e-9)
+
+
+def test_degeneracy_exact_count():
+    """Couplings in multiples of 1 -> countable exact degeneracy."""
+    rng = np.random.default_rng(5)
+    Nx, Ny, Nc = 2, 2, 2
+    L = Nx * Ny * Nc
+    J = make_chimera_like(rng, Nx, Ny, Nc, field=False)
+    J = tnax.round_Jij(J, 1.0)
+    J = [j for j in J if j[2] != 0]
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=1.5, J=J)
+    Eng = ins.search_ground_state(M=256, relative_P_cutoff=1e-14, Dmax=16)
+    Emin, E = brute_force_min(J, L)
+    # count only over states of ACTIVE spins; inactive spins do not
+    # contribute and the solver does not count them
+    nact = sum(len(ins.problem.ind[ny][nx]) for ny in range(Ny)
+               for nx in range(Nx))
+    expected_deg = int((np.abs(E - Emin) < 1e-9).sum()) // 2 ** (L - nact)
+    assert Eng[0] == pytest.approx(Emin, abs=1e-9)
+    assert ins.degeneracy == expected_deg
+
+
+def test_spectrum_small_all_encodings():
+    rng = np.random.default_rng(9)
+    Nx, Ny, Nc = 2, 2, 2
+    L = Nx * Ny * Nc
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    Emin, E = brute_force_min(J, L)
+    dE = 2.0
+    expected = np.sort(E[E <= Emin + dE])
+    for ee in (1, 2, 3):
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        ins.search_low_energy_spectrum(excitations_encoding=ee, M=256,
+                                       relative_P_cutoff=1e-14, Dmax=16,
+                                       max_dEng=dE)
+        ins.decode_low_energy_states(max_dEng=dE, max_states=10000)
+        assert len(ins.energy) == len(expected), f"ee={ee}"
+        assert np.allclose(np.sort(ins.energy), expected, atol=1e-8)
+        # decoded states re-score exactly
+        assert np.allclose(energy_Jij(J, ins.binary_states()), ins.energy,
+                           atol=1e-8)
+
+
+def test_sampling_energy_consistency():
+    rng = np.random.default_rng(4)
+    J = make_chimera_like(rng, 2, 2, 2)
+    ins = tnax.Solver(mode="Ising", Nx=2, Ny=2, Nc=2, beta=1, J=J)
+    E = ins.gibbs_sampling(M=32, Dmax=8)
+    assert len(E) == 32
+    assert np.allclose(E, energy_Jij(J, ins.binary_states()), atol=1e-9)
+
+
+def test_sampling_distribution():
+    """Sampled frequencies must approach the Gibbs distribution."""
+    rng = np.random.default_rng(12)
+    J = make_chimera_like(rng, 2, 1, 2)
+    L = 4
+    ins = tnax.Solver(mode="Ising", Nx=2, Ny=1, Nc=2, beta=1, J=J)
+    M = 4000
+    E = ins.gibbs_sampling(M=M, Dmax=8)
+    _, Eall = brute_force_min(J, L)
+    p = np.exp(-1.0 * (Eall - Eall.min()))
+    p /= p.sum()
+    # empirical distribution over energies
+    vals, counts = np.unique(np.round(E, 9), return_counts=True)
+    emp = dict(zip(vals, counts / M))
+    theo = {}
+    for e, pi in zip(np.round(Eall, 9), p):
+        theo[e] = theo.get(e, 0.0) + pi
+    for v, f in emp.items():
+        assert abs(f - theo[v]) < 0.05
+
+
+def test_rmf_gs_brute_force():
+    rng = np.random.default_rng(2)
+    Nx, Ny, q = 3, 2, 3
+    N = np.full((Ny, Nx), q)
+    fun, fac = {}, {}
+    k = 0
+    for ny in range(Ny):
+        for nx in range(Nx):
+            fun[k] = rng.normal(size=q)
+            fac[(ny, nx)] = k
+            k += 1
+            if nx + 1 < Nx:
+                fun[k] = rng.normal(size=(q, q))
+                fac[(ny, nx, ny, nx + 1)] = k
+                k += 1
+            if ny + 1 < Ny:
+                fun[k] = rng.normal(size=(q, q))
+                fac[(ny, nx, ny + 1, nx)] = k
+                k += 1
+    J = {"fun": fun, "fac": fac, "N": N, "Nx": Nx, "Ny": Ny}
+    ins = tnax.Solver(mode="RMF", Nx=Nx, Ny=Ny, J=J, beta=3)
+    Eng = ins.search_ground_state(M=128, relative_P_cutoff=1e-14, Dmax=8)
+    best = min(energy_RMF(J, np.array([c]))[0]
+               for c in itertools.product(range(q), repeat=Nx * Ny))
+    assert Eng[0] == pytest.approx(best, abs=1e-9)

@@ -156,6 +156,29 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
     return rhoT, lognorms, ovs, dss
 
 
+@partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
+                                   "graduate"))
+def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
+    """Boundary-MPS stack from the top edge downward (mirror of
+    :func:`build_rhoT`; reference `_setup_rhoB`,
+    `tnac4o/tnac4o.py:1697-1718`). rhoB[ny] contracts rows 0..ny-1; its
+    physical legs live on the up-legs of row ny; rhoB[0] is trivial."""
+    Ny, Nx, lh, lv = Wt.shape[:4]
+    dtype = Wt.dtype
+    mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
+
+    def step(mps, Wrow):
+        fat = bmps.apply_mpo(mps, Wrow, conj=False)
+        new, overlap, disc = bmps.compress(
+            fat, Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+            graduate=graduate)
+        return new, (new.A, overlap, disc)
+
+    _, (As, ovs, dss) = lax.scan(step, mps0, Wt)
+    rhoB = jnp.concatenate([mps0.A[None], As], axis=0)
+    return rhoB, ovs, dss
+
+
 @jax.jit
 def row_right_envs(AT_row, Wt_row, uidx):
     """Right environments of the active row for every branch.
