@@ -1,0 +1,77 @@
+"""Device-resident search + multi-chip sharding tests (8 virtual devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tnax
+from tnax import parallel
+from tnax.search import ContractionContext, merge_by_vind
+from test_search_small import make_chimera_like, brute_force_min
+
+
+def test_device_merge_matches_host():
+    rng = np.random.default_rng(0)
+    M, C = 64, 5
+    vind = rng.integers(0, 3, size=(M, C)).astype(np.int32)
+    Eng = np.round(rng.normal(size=M), 1)  # induce ties
+    prob = rng.normal(size=M)
+    deg = rng.integers(1, 4, size=M).astype(np.int64)
+    valid = np.ones(M, bool)
+
+    vindn, rep, degn, probn, *_ = merge_by_vind(vind, Eng, prob, deg, 1e-12)
+    dp, dE, dd, parent, dvalid = parallel.merge_beam(
+        jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
+        jnp.asarray(deg), jnp.asarray(valid), 1e-12, bits=2)
+    dvalid = np.asarray(dvalid)
+    got = sorted(zip(np.asarray(dE)[dvalid], np.asarray(dd)[dvalid],
+                     np.round(np.asarray(dp)[dvalid], 10)))
+    want = sorted(zip(Eng[rep], degn, np.round(probn, 10)))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == pytest.approx(w[0])
+        assert g[1] == w[1]
+        assert g[2] == pytest.approx(w[2])
+
+
+def test_device_search_matches_brute_force():
+    rng = np.random.default_rng(3)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    ctx = ContractionContext(ins.problem, beta=2)
+    res = parallel.device_search_gs(ctx, M=64, relative_P_cutoff=1e-12,
+                                    Dmax=8)
+    Emin, _ = brute_force_min(J, Nx * Ny * Nc)
+    assert res["energy"] == pytest.approx(Emin, abs=1e-9)
+
+
+def test_device_search_degeneracy():
+    rng = np.random.default_rng(5)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc, field=False)
+    J = [j for j in tnax.round_Jij(J, 1.0) if j[2] != 0]
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=1.5, J=J)
+    ins.search_ground_state(M=256, relative_P_cutoff=1e-14, Dmax=16)
+    ctx = ContractionContext(ins.problem, beta=1.5)
+    res = parallel.device_search_gs(ctx, M=256, relative_P_cutoff=1e-14,
+                                    Dmax=16)
+    assert res["energy"] == pytest.approx(ins.energy[0], abs=1e-9)
+    assert res["degeneracy"] == ins.degeneracy
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    Pn, mPn = fn(*args)
+    Pn = np.asarray(Pn)
+    assert Pn.shape == (1024, 256)
+    assert np.allclose(Pn.sum(axis=1), 1.0, atol=1e-5)

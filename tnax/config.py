@@ -51,6 +51,13 @@ def ensure_precision() -> None:
         _X64 = backend == "cpu"
     if _X64:
         jax.config.update("jax_enable_x64", True)
+    if backend != "cpu" and os.environ.get("TNAX_COMPILE_CACHE", "1") != "0":
+        # first TPU compiles of QR/SVD pipelines are minutes-long through
+        # remote-compile tunnels; persist them across processes
+        cache_dir = os.environ.get("TNAX_COMPILE_CACHE_DIR",
+                                   os.path.expanduser("~/.tnax_jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _INITIALIZED = True
 
 

@@ -215,8 +215,8 @@ def row_right_envs(AT_row, Wt_row, uidx):
     return RRs
 
 
-@partial(jax.jit, static_argnames=("nvalid",))
-def marginal_step(B, drindex, AT, RL, RRsel, lidx, uidx, *, nvalid):
+@jax.jit
+def marginal_step(B, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
     """Normalized conditional marginals of one site for all branches.
 
     B:       (Np, lh, lv) gauged Boltzmann factor of the site.
@@ -225,7 +225,7 @@ def marginal_step(B, drindex, AT, RL, RRsel, lidx, uidx, *, nvalid):
     RL:      (M, D) left environments.
     RRsel:   (M, D, lh) right environments (gathered per branch).
     lidx/uidx: (M,) left/up leg indices per branch.
-    nvalid:  number of valid block states (static).
+    nvalid:  number of valid block states (scalar, may be traced).
 
     Returns (Pn, mPn): probabilities (M, Np) normalized over the valid
     states, and the per-branch "negativeness" red flag. Reference

@@ -1,0 +1,344 @@
+"""Device-resident search step and multi-chip sharding.
+
+The reference is single-threaded NumPy; parallel scale-out is *new design*
+(SURVEY.md section 2.9). Two mesh axes are exposed:
+
+- ``data``: independent problem instances / rotations (pure data
+  parallelism — the production fleet mode, e.g. 100 chimera instances x 4
+  rotations, one search per device group).
+- ``beam``: the M beam branches of one search. Marginal evaluation — the
+  dominant per-site cost — shards cleanly over branches; the global
+  relative-probability cutoff uses `lax.pmax`, and the top-M + merge run
+  replicated after an `all_gather` of the small per-branch payloads, so
+  collectives ride ICI once per site.
+
+`row_step` is the fully device-resident analogue of one row of the
+branch-and-bound search (marginals, cutoff, top-M via `lax.top_k`,
+merge-by-boundary-index via lexicographic sort + segment reductions,
+energy/degeneracy bookkeeping) as one jitted `lax.scan` — the
+throughput-mode alternative to the host-orchestrated
+`tnax.search.search_ground_state`. Two documented deviations from the
+host/reference path: energies accumulate in the compute dtype (f32 on
+TPU), and the beam is truncated to M *before* merging instead of after
+(the reference merges the full post-cutoff candidate set,
+`tnac4o/tnac4o.py:481-526`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax import shard_map
+
+from . import engine
+
+NEG = -1e30  # effectively -inf log2 probability
+
+
+# ---------------------------------------------------------------------------
+# device-side merge by boundary-index vector
+# ---------------------------------------------------------------------------
+
+def pack_keys(vind, bits):
+    """Pack (M, C) small-int rows into int32 lexicographic keys."""
+    M, C = vind.shape
+    per = max(1, 30 // bits)
+    keys = []
+    for lo in range(0, C, per):
+        cols = vind[:, lo:lo + per].astype(jnp.int32)
+        k = jnp.zeros((M,), dtype=jnp.int32)
+        for c in range(cols.shape[1]):
+            k = (k << bits) | cols[:, c]
+        keys.append(k)
+    return keys
+
+
+def merge_beam(vind, Eng, prob, deg, valid, min_dEng, bits):
+    """Merge branches with identical ``vind`` rows, on device.
+
+    Device analogue of `tnax.search.merge_by_vind` (reference
+    `tnac4o/tnac4o.py:481-515`): lexicographic sort + segment reductions;
+    the minimum-energy member represents each group, degeneracies of
+    members within ``min_dEng`` of the minimum are summed, their
+    log2-probabilities averaged. Invalid branches sort into a trailing
+    group and stay invalid.
+
+    Returns (prob', Eng', deg', parent, valid') where ``parent`` indexes the
+    input arrays (the group representative); callers gather vind/states/RL
+    through it. Output arrays keep padded size M (empty groups invalid).
+    """
+    M = Eng.shape[0]
+    keys = pack_keys(vind, bits) + [jnp.where(valid, 0, 1).astype(jnp.int32)]
+    perm = jnp.lexsort(tuple(reversed(keys)))
+    vs = vind[perm]
+    Es = Eng[perm]
+    ps = prob[perm]
+    ds = deg[perm]
+    vls = valid[perm]
+
+    neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
+    seg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(neq).astype(jnp.int32)])
+    big = jnp.asarray(jnp.finfo(Es.dtype).max, Es.dtype)
+    Emin = jax.ops.segment_min(jnp.where(vls, Es, big), seg, num_segments=M)
+    is_min = (Es == Emin[seg]) & vls
+    pos = jnp.arange(M, dtype=jnp.int32)
+    first_min = jax.ops.segment_min(jnp.where(is_min, pos, M), seg,
+                                    num_segments=M)
+    group_valid = first_min < M
+    rep_sorted = jnp.clip(first_min, 0, M - 1)
+
+    near = ((Es - Emin[seg]) <= min_dEng) & vls
+    deg_sum = jax.ops.segment_sum(jnp.where(near, ds, 0), seg,
+                                  num_segments=M)
+    n_near = jax.ops.segment_sum(near.astype(Es.dtype), seg, num_segments=M)
+    prob_mean = jax.ops.segment_sum(jnp.where(near, ps, 0.0), seg,
+                                    num_segments=M) \
+        / jnp.maximum(n_near, 1)
+
+    parent = perm[rep_sorted]
+    Eng_out = jnp.where(group_valid, Emin, 0.0)
+    prob_out = jnp.where(group_valid, prob_mean, NEG)
+    deg_out = jnp.where(group_valid, deg_sum, 0)
+    return prob_out, Eng_out, deg_out, parent, group_valid
+
+
+# ---------------------------------------------------------------------------
+# device-resident row step
+# ---------------------------------------------------------------------------
+
+def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
+             beam_shards=1):
+    """Process one full lattice row of the beam search on device.
+
+    beam: dict with
+      RL (M, D), vind (M, Nx+1) i32, states (M, L) i32, Eng (M,),
+      prob (M,), deg (M,) i32, valid (M,) bool, aidx (M,) i32.
+    row: dict with per-row stacked site arrays
+      B (Nx, Np, lh, lv), drindex (Nx, Np) i32, AT (Nx, D, lv, D),
+      RRs (Nx, M, D, lh)   (row-start right envs, replicated),
+      Es (Nx, Np), Esl (Nx, Np, lh), Esu (Nx, Np, lv)  (raw energies),
+      dmap/rmap (Nx, Np) i32, nvalid (Nx,) i32, cols (Nx,) i32 state column.
+
+    With ``axis`` set (inside shard_map over the beam axis), each shard
+    holds M_local = M/n branches; global cutoff and beam re-formation use
+    pmax/all_gather.
+    """
+    Np = row["B"].shape[1]
+
+    def site(carry, xs):
+        RL, vind, states, Eng, prob, deg, valid, aidx = carry
+        (nx, B, drindex, AT, Es_t, Esl_t, Esu_t, dmap, rmap, nvalid,
+         col) = xs
+        Ml = RL.shape[0]
+
+        RRsel = row["RRs"][nx][aidx]   # RRs replicated over the beam axis
+        lidx = vind[:, nx]
+        uidx = vind[:, nx + 1]
+        Pn, mPn = engine.marginal_step(B, drindex, AT, RL, RRsel, lidx,
+                                       uidx, nvalid)
+        logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
+        probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
+        probf = probf.reshape(Ml * Np)
+
+        pmax = jnp.max(probf)
+        if axis is not None:
+            pmax = lax.pmax(pmax, axis)
+        cutoff = pmax + log2_cutoff
+
+        # local top-M candidates
+        k = min(M, probf.shape[0])
+        vals, idx = lax.top_k(probf, k)
+        src, indc = idx // Np, (idx % Np).astype(jnp.int32)
+        cand = dict(
+            prob=vals, vind=vind[src], deg=deg[src], states=states[src],
+            Eng=Eng[src], aidx=aidx[src], RL=RL[src], indc=indc,
+            valid=valid[src] & (vals > cutoff) & (vals > NEG / 2),
+        )
+        if axis is not None:
+            # replicate all candidates, keep the global top-M
+            cand = {kk: lax.all_gather(vv, axis, tiled=True)
+                    for kk, vv in cand.items()}
+            _, gidx = lax.top_k(cand["prob"], M)
+            cand = {kk: vv[gidx] for kk, vv in cand.items()}
+        # the best branch always survives, even below cutoff
+        # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
+        cand["valid"] = cand["valid"].at[0].set(cand["prob"][0] > NEG / 2)
+
+        # bookkeeping on the (replicated) M candidates
+        vind_n, states_n, ic = cand["vind"], cand["states"], cand["indc"]
+        rows_ = jnp.arange(M)
+        Eng_n = cand["Eng"] + Es_t[ic] + Esl_t[ic, vind_n[:, nx]] \
+            + Esu_t[ic, vind_n[:, nx + 1]]
+        states_n = states_n.at[rows_, col].set(ic)
+        vind_n = vind_n.at[rows_, nx].set(dmap[ic])
+        vind_n = vind_n.at[rows_, nx + 1].set(rmap[ic])
+
+        probm, Engm, degm, parent, validm = merge_beam(
+            vind_n, Eng_n, cand["prob"], cand["deg"], cand["valid"],
+            min_dEng, bits)
+        vind_m = vind_n[parent]
+        states_m = states_n[parent]
+        aidx_m = cand["aidx"][parent]
+        RL_m = cand["RL"][parent]
+        didx = vind_m[:, nx]
+
+        if axis is not None:
+            # keep this shard's slice of the merged beam
+            Ml_out = M // beam_shards
+            sl = lax.axis_index(axis) * Ml_out
+
+            def slice_local(x):
+                return lax.dynamic_slice_in_dim(x, sl, Ml_out, axis=0)
+
+            RL_m, vind_m, states_m, Engm, probm, degm, validm, aidx_m, \
+                didx = map(slice_local, (RL_m, vind_m, states_m, Engm,
+                                         probm, degm, validm, aidx_m, didx))
+
+        RL_new = engine.rl_update(RL_m, AT, didx)
+        return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
+                aidx_m), mPn
+
+    xs = (jnp.arange(Nx, dtype=jnp.int32), row["B"], row["drindex"],
+          row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
+          row["rmap"], row["nvalid"], row["cols"])
+    carry = (beam["RL"], beam["vind"], beam["states"], beam["Eng"],
+             beam["prob"], beam["deg"], beam["valid"], beam["aidx"])
+    carry, mPns = lax.scan(site, carry, xs)
+    RL, vind, states, Eng, prob, deg, valid, aidx = carry
+    # shift vind for the next row (reference tnac4o/tnac4o.py:540-542)
+    vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
+                           axis=1)
+    out = dict(RL=RL, vind=vind, states=states, Eng=Eng, prob=prob, deg=deg,
+               valid=valid, aidx=aidx)
+    return out, jnp.min(mPns)
+
+
+def _padded_energy_rows(ctx):
+    """Raw (unshifted) energy tables padded to grid shapes, as device arrays."""
+    import jax.numpy as jnp_
+    g = ctx.grid
+    Ny, Nx, Np, lh, lv = g.Ny, g.Nx, g.Np, g.lh, g.lv
+    Es = np.zeros((Ny, Nx, Np))
+    Esl = np.zeros((Ny, Nx, Np, lh))
+    Esu = np.zeros((Ny, Nx, Np, lv))
+    for ny in range(Ny):
+        for nx in range(Nx):
+            e, el, eu = ctx.energy_tables(ny, nx)
+            n = len(e)
+            Es[ny, nx, :n] = e
+            Esl[ny, nx, :n, :el.shape[1]] = el
+            Esu[ny, nx, :n, :eu.shape[1]] = eu
+    d = ctx.dtype
+    return (jnp_.asarray(Es, d), jnp_.asarray(Esl, d), jnp_.asarray(Esu, d))
+
+
+def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
+                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
+                     graduate_truncation=True):
+    """Fully device-resident ground-state search (throughput mode).
+
+    Single-chip driver around :func:`row_step`: the beam never leaves the
+    device; the host only steps the row loop. Energies accumulate in the
+    compute dtype — use `tnax.search.search_ground_state` when 1e-12 energy
+    ties must be resolved exactly.
+
+    Returns dict(energy, states, prob, degeneracy, negative_probability).
+    """
+    if ctx.rhoT is None or ctx.Dmax != Dmax:
+        ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    Ny, Nx, Np, lh, lv = ctx.Ny, ctx.Nx, ctx.Np, ctx.lh, ctx.lv
+    dtype = ctx.dtype
+    D = ctx.Dmax
+    bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else NEG
+    EsP, EslP, EsuP = _padded_energy_rows(ctx)
+    nvalid = jnp.asarray(ctx.nstates, jnp.int32)
+    cols = (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+            + jnp.arange(Nx, dtype=jnp.int32)[None, :])
+
+    step = jax.jit(partial(row_step, M=M, Nx=Nx, bits=bits,
+                           min_dEng=min_dEng, log2_cutoff=log2_cutoff))
+
+    beam = dict(
+        RL=jnp.zeros((M, D), dtype).at[:, 0].set(1.0),
+        vind=jnp.zeros((M, Nx + 1), jnp.int32),
+        states=jnp.zeros((M, Nx * Ny), jnp.int32),
+        Eng=jnp.zeros((M,), dtype),
+        prob=jnp.full((M,), NEG, dtype).at[0].set(0.0),
+        deg=jnp.ones((M,), jnp.int32),
+        valid=jnp.zeros((M,), bool).at[0].set(True),
+        aidx=jnp.arange(M, dtype=jnp.int32),
+    )
+    globalmin = 0.0
+    for ny in range(Ny):
+        beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
+        beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
+        RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
+                                    beam["vind"][:, 1:])
+        row = dict(B=ctx.B[ny], drindex=ctx.drindex[ny],
+                   AT=ctx.rhoT[ny + 1], RRs=RRs, Es=EsP[ny], Esl=EslP[ny],
+                   Esu=EsuP[ny], dmap=jnp.asarray(ctx.dmap[ny]),
+                   rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
+                   cols=cols[ny])
+        beam, mq = step(beam, row)
+        globalmin = min(globalmin, float(mq))
+
+    valid = np.asarray(beam["valid"])
+    Eng = np.asarray(beam["Eng"], dtype=np.float64)[valid]
+    prob = np.asarray(beam["prob"], dtype=np.float64)[valid]
+    deg = np.asarray(beam["deg"])[valid]
+    states = np.asarray(beam["states"])[valid]
+    best = int(np.argmin(Eng))
+    return dict(energy=Eng[best], states=states[best], prob=prob[best],
+                degeneracy=int(deg[best]),
+                negative_probability=min(globalmin, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# multi-chip wrappers
+# ---------------------------------------------------------------------------
+
+def make_mesh(n_data, n_beam, devices=None):
+    devices = np.array(devices if devices is not None else jax.devices())
+    assert devices.size >= n_data * n_beam
+    return Mesh(devices[: n_data * n_beam].reshape(n_data, n_beam),
+                axis_names=("data", "beam"))
+
+
+def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff):
+    """jit-compiled row step over a ('data','beam') mesh.
+
+    Beam state arrays carry a leading instance axis sharded over 'data' and
+    an M axis sharded over 'beam'; row tensors are sharded over 'data' and
+    replicated over 'beam'.
+    """
+    n_beam = mesh.shape["beam"]
+    beam_specs = dict(RL=P("data", "beam"), vind=P("data", "beam"),
+                      states=P("data", "beam"), Eng=P("data", "beam"),
+                      prob=P("data", "beam"), deg=P("data", "beam"),
+                      valid=P("data", "beam"), aidx=P("data", "beam"))
+    row_specs = dict(B=P("data"), drindex=P("data"), AT=P("data"),
+                     RRs=P("data"), Es=P("data"), Esl=P("data"),
+                     Esu=P("data"), dmap=P("data"), rmap=P("data"),
+                     nvalid=P("data"), cols=P("data"))
+
+    def one_instance(beam, row):
+        return row_step(beam, row, M=M, Nx=Nx, bits=bits,
+                        min_dEng=min_dEng, log2_cutoff=log2_cutoff,
+                        axis="beam", beam_shards=n_beam)
+
+    @partial(shard_map, mesh=mesh, in_specs=(beam_specs, row_specs),
+             out_specs=(beam_specs, P("data")), check_vma=False)
+    def step(beam, row):
+        # strip the per-shard instance axis (size B/n_data) via vmap
+        out, mq = jax.vmap(one_instance)(beam, row)
+        return out, mq
+
+    return jax.jit(step)
