@@ -128,9 +128,20 @@ def peps_rows(Es, Esl, Esu, dmap, rmap, Xl, Xr, Xu, Xd, beta, *, lh, lv):
     return B, Wt
 
 
+def _absorb_row(mps, Wrow, conj, Dmax, tolS, tolV, max_sweeps, graduate,
+                method):
+    if method == "zipup":
+        return bmps.compress_apply(mps, Wrow, Dmax, conj=conj, tolS=tolS,
+                                   tolV=tolV, max_sweeps=max_sweeps)
+    fat = bmps.apply_mpo(mps, Wrow, conj=conj)
+    return bmps.compress(fat, Dmax, tolS=tolS, tolV=tolV,
+                         max_sweeps=max_sweeps, graduate=graduate)
+
+
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate"))
-def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
+                                   "graduate", "method"))
+def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
+               method="zipup"):
     """Boundary-MPS stack from the bottom edge upward.
 
     Wt: (Ny, Nx, lh, lv, lh, lv) traced row tensors.
@@ -138,16 +149,18 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
     rhoT[ny] (ny=0..Ny) approximates the contraction of rows ny..Ny-1 as an
     MPS over columns with physical legs = up-legs of row ny; rhoT[Ny] is the
     trivial boundary. Reference `_setup_rhoT` (`tnac4o/tnac4o.py:1674-1695`).
+
+    method="zipup" (default) absorbs each row fat-MPS-free
+    (`bmps.compress_apply`); method="fat" materializes the D*l-bond MPS and
+    runs the reference's graduate-truncation schedule.
     """
     Ny, Nx, lh, lv = Wt.shape[:4]
     dtype = Wt.dtype
     mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
 
     def step(mps, Wrow):
-        fat = bmps.apply_mpo(mps, Wrow, conj=True)
-        new, overlap, disc = bmps.compress(
-            fat, Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
-            graduate=graduate)
+        new, overlap, disc = _absorb_row(mps, Wrow, True, Dmax, tolS, tolV,
+                                         max_sweeps, graduate, method)
         return new, (new.A, new.lognorm, overlap, disc)
 
     _, (As, lns, ovs, dss) = lax.scan(step, mps0, Wt, reverse=True)
@@ -157,8 +170,9 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate"))
-def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
+                                   "graduate", "method"))
+def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
+               method="zipup"):
     """Boundary-MPS stack from the top edge downward (mirror of
     :func:`build_rhoT`; reference `_setup_rhoB`,
     `tnac4o/tnac4o.py:1697-1718`). rhoB[ny] contracts rows 0..ny-1; its
@@ -168,10 +182,8 @@ def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate):
     mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
 
     def step(mps, Wrow):
-        fat = bmps.apply_mpo(mps, Wrow, conj=False)
-        new, overlap, disc = bmps.compress(
-            fat, Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
-            graduate=graduate)
+        new, overlap, disc = _absorb_row(mps, Wrow, False, Dmax, tolS, tolV,
+                                         max_sweeps, graduate, method)
         return new, (new.A, overlap, disc)
 
     _, (As, ovs, dss) = lax.scan(step, mps0, Wt)
