@@ -1,0 +1,56 @@
+"""Expectation-value API and 'lr' preconditioning sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tnax
+from tnax import bmps
+from test_bmps import random_mps, dense_state
+from test_search_small import make_chimera_like
+
+
+def test_measure_O1_matches_dense():
+    rng = np.random.default_rng(0)
+    A = random_mps(rng, L=4, D=3, d=2, Dpad=4)
+    psi = dense_state(A).reshape([2] * 4)
+    O = rng.normal(size=(2, 2))
+    got = np.asarray(bmps.measure_O1(A, jnp.asarray(O)))
+    norm = np.sum(psi ** 2)
+    for n in range(4):
+        contracted = np.tensordot(O, psi, axes=(1, n))  # out axis first
+        contracted = np.moveaxis(contracted, 0, n)
+        want = np.sum(psi * contracted) / norm
+        assert got[n] == pytest.approx(want, rel=1e-9)
+
+
+def test_measure_correlations_symmetric():
+    rng = np.random.default_rng(1)
+    A = random_mps(rng, L=4, D=3, d=2, Dpad=4)
+    psi = dense_state(A).reshape([2] * 4)
+    O = np.diag([1.0, -1.0])  # Z operator
+    got = bmps.measure_correlations(A, O)
+    norm = np.sum(psi ** 2)
+    # dense two-point check
+    def apply(n, p):
+        c = np.tensordot(O, p, axes=(1, n))
+        return np.moveaxis(c, 0, n)
+    for n in range(4):
+        for m in range(4):
+            p = apply(n, psi) if n == m else apply(n, apply(m, psi))
+            want = np.sum(psi * p) / norm
+            assert got[n, m] == pytest.approx(want, rel=1e-8)
+
+
+def test_lr_preconditioning_invariant():
+    rng = np.random.default_rng(2)
+    J = make_chimera_like(rng, 3, 3, 2)
+    ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=2, beta=2, J=J)
+    E0 = ins.search_ground_state(M=128, relative_P_cutoff=1e-12, Dmax=8)[0]
+    ins2 = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=2, beta=2, J=J)
+    ins2.precondition(mode="balancing", directions=("ud", "lr"))
+    X = ins2._gauges
+    assert np.max(np.abs(X["Xd"][:-1] * X["Xu"][1:] - 1)) < 1e-12
+    assert np.max(np.abs(X["Xr"][:, :-1] * X["Xl"][:, 1:] - 1)) < 1e-12
+    E1 = ins2.search_ground_state(M=128, relative_P_cutoff=1e-12, Dmax=8)[0]
+    assert E1 == pytest.approx(E0, abs=1e-9)

@@ -589,6 +589,66 @@ def compress_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
 # misc
 # ---------------------------------------------------------------------------
 
+def measure_O1(A: jax.Array, O: jax.Array) -> jax.Array:
+    """<psi|O_n|psi> for a 1-site operator at every site, normalized
+    (reference `measure_O1`, `tnac4o/mps.py:301-314`).
+
+    A: stacked MPS (L, D, d, D); O: (d, d) or (L, d, d)."""
+    L, D, d, _ = A.shape
+    if O.ndim == 2:
+        O = jnp.broadcast_to(O, (L, d, d))
+    rl0 = jnp.zeros((D, D), dtype=A.dtype).at[0, 0].set(1.0)
+
+    def right(rr, a):
+        return jnp.einsum("adb,bc,edc->ae", a, rr, a), rr
+
+    rr_last, RRs = lax.scan(right, rl0, A, reverse=True)
+    norm = rr_last[0, 0]
+
+    def left(rl, xs):
+        a, On, rr = xs
+        val = jnp.einsum("xa,adb,ed,xec,bc->", rl, a, On, a, rr)
+        rl = jnp.einsum("xa,adb,xdc->cb", rl, a, a)
+        return rl, val
+
+    # RRs[n] is the env right of site n (emitted before absorbing site n)
+    _, vals = lax.scan(left, rl0, (A, O, RRs))
+    return vals / norm
+
+
+def measure_correlations(A: jax.Array, O: jax.Array) -> jax.Array:
+    """All two-point correlators <psi|O_n O_m|psi>, normalized
+    (reference `measure_correlations`, `tnac4o/mps.py:331-351`).
+    Host-side convenience (O(L^2) small contractions)."""
+    import numpy as np_
+    A = np_.asarray(A)
+    L, D, d, _ = A.shape
+    O = np_.asarray(O)
+    if O.ndim == 2:
+        O = np_.broadcast_to(O, (L, d, d))
+    RRs = [None] * (L + 1)
+    RRs[L] = np_.zeros((D, D))
+    RRs[L][0, 0] = 1.0
+    for n in range(L - 1, -1, -1):
+        RRs[n] = np_.einsum("adb,bc,edc->ae", A[n], RRs[n + 1], A[n])
+    norm = RRs[0][0, 0]
+    rl = np_.zeros((D, D))
+    rl[0, 0] = 1.0
+    out = np_.zeros((L, L))
+    RLO = [None] * L
+    for n in range(L):
+        out[n, n] = np_.einsum("xa,adb,ed,xec,bc->", rl, A[n], O[n], A[n],
+                               RRs[n + 1]) / norm
+        for m in range(n):
+            out[m, n] = np_.einsum("xa,adb,ed,xec,bc->", RLO[m], A[n], O[n],
+                                   A[n], RRs[n + 1]) / norm
+            out[n, m] = out[m, n]
+            RLO[m] = np_.einsum("xa,adb,xdc->cb", RLO[m], A[n], A[n])
+        RLO[n] = np_.einsum("xa,adb,ed,xec->cb", rl, A[n], O[n], A[n])
+        rl = np_.einsum("xa,adb,xdc->cb", rl, A[n], A[n])
+    return out
+
+
 def mps_dot(phi_A: jax.Array, psi_A: jax.Array) -> jax.Array:
     """<phi|psi> of two stacked MPS (no lognorm factors).
 

@@ -191,6 +191,56 @@ def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     return rhoB, ovs, dss
 
 
+def columns_view(Wt):
+    """Reorient the traced row tensors for column-wise (left/right)
+    boundary MPS: chain legs become the vertical (u, d) legs and the
+    contracted/output physical legs the horizontal (l, r) ones
+    (reference transposes W to (u, l, d, r), `tnac4o/tnac4o.py:1733`)."""
+    return jnp.transpose(Wt, (1, 0, 5, 2, 3, 4))
+
+
+@partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
+                                   "graduate", "method"))
+def build_rhoL(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
+               method="zipup"):
+    """Boundary-MPS stack from the left edge rightward (reference
+    `_setup_rhoL`, `tnac4o/tnac4o.py:1720-1742`). rhoL[nx] contracts
+    columns 0..nx-1; physical legs on the left-legs of column nx."""
+    Wc = columns_view(Wt)
+    Nx, Ny, lv, lh = Wc.shape[:4]
+    mps0 = bmps.trivial_mps(Ny, Dmax, lh, Wt.dtype)
+
+    def step(mps, Wcol):
+        new, overlap, disc = _absorb_row(mps, Wcol, True, Dmax, tolS, tolV,
+                                         max_sweeps, graduate, method)
+        return new, (new.A, overlap, disc)
+
+    _, (As, ovs, dss) = lax.scan(step, mps0, Wc)
+    rhoL = jnp.concatenate([mps0.A[None], As], axis=0)
+    return rhoL, ovs, dss
+
+
+@partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
+                                   "graduate", "method"))
+def build_rhoR(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
+               method="zipup"):
+    """Boundary-MPS stack from the right edge leftward (reference
+    `_setup_rhoR`, `tnac4o/tnac4o.py:1744-1766`). rhoR[nx] contracts
+    columns nx..Nx-1; physical legs on the left-legs of column nx."""
+    Wc = columns_view(Wt)
+    Nx, Ny, lv, lh = Wc.shape[:4]
+    mps0 = bmps.trivial_mps(Ny, Dmax, lh, Wt.dtype)
+
+    def step(mps, Wcol):
+        new, overlap, disc = _absorb_row(mps, Wcol, False, Dmax, tolS, tolV,
+                                         max_sweeps, graduate, method)
+        return new, (new.A, overlap, disc)
+
+    _, (As, ovs, dss) = lax.scan(step, mps0, Wc, reverse=True)
+    rhoR = jnp.concatenate([As, mps0.A[None]], axis=0)
+    return rhoR, ovs, dss
+
+
 @jax.jit
 def row_right_envs(AT_row, Wt_row, uidx):
     """Right environments of the active row for every branch.

@@ -92,6 +92,86 @@ def _balance_scale(env, max_scale):
     return np.minimum(np.maximum(scale, 1.0 / max_scale), max_scale)
 
 
+def _norm(A):
+    return np.linalg.norm(A)
+
+
+def balance_lr(problem, beta, gauges, Dmax=8, graduate_truncation=False,
+               tolS=1e-16, tolV=1e-10, max_sweeps=20, max_scale=1024):
+    """One left-right balancing sweep (reference
+    `_update_conditioning(direction='lr')`, `tnac4o/tnac4o.py:1920-2006`).
+
+    Unlike 'ud', the reference applies the scale *conditionally*: it is kept
+    only when the normalized mixed overlap improves; replicated here.
+    Returns the updated gauges dict (Xr[nx-1]*Xl[nx] == 1 kept).
+    """
+    max_scale = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
+    ctx = ContractionContext(problem, beta, gauges=gauges)
+    rhoL, _, _ = engine.build_rhoL(ctx.Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                   max_sweeps=max_sweeps,
+                                   graduate=graduate_truncation)
+    rhoR, _, _ = engine.build_rhoR(ctx.Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                   max_sweeps=max_sweeps,
+                                   graduate=graduate_truncation)
+    rhoL = np.asarray(rhoL, dtype=np.float64)
+    rhoR = np.asarray(rhoR, dtype=np.float64)
+
+    X = {k: v.copy() for k, v in gauges.items()}
+    Ny, Nx, lh = ctx.Ny, ctx.Nx, ctx.lh
+    hdims = problem.lr  # (Ny, Nx) valid horizontal leg dims
+
+    for nx in range(1, Nx):
+        # self = rhoL[nx] (columns left), phi = rhoR[nx] (columns right);
+        # both have physical legs on the left-legs of column nx. Chain
+        # index is the row ny.
+        Lc = [rhoL[nx, ny].copy() for ny in range(Ny)]
+        Rc = [rhoR[nx, ny].copy() for ny in range(Ny)]
+        D = Lc[0].shape[0]
+        R = [None] * (Ny + 1)
+        R[0] = np.zeros((D, D))
+        R[0][0, 0] = 1.0
+        for ny in range(Ny):
+            R[ny + 1] = _mix_left(R[ny], Rc[ny], Lc[ny])
+
+        def _try_rebalance(ny, RL, RR):
+            nd = hdims[ny, nx - 1]
+            env = _bond_env(RL, Rc[ny], Lc[ny], RR)[:nd, :nd]
+            scale = _balance_scale(env, max_scale)
+            full = np.ones(lh)
+            full[:nd] = scale
+            o1 = _expectation(RL, RR, Rc[ny], Lc[ny]) \
+                / max(_norm(Lc[ny]) * _norm(Rc[ny]), 1e-300)
+            Lc[ny] *= full[None, :, None]
+            Rc[ny] *= (1.0 / full)[None, :, None]
+            o2 = _expectation(RL, RR, Rc[ny], Lc[ny]) \
+                / max(_norm(Lc[ny]) * _norm(Rc[ny]), 1e-300)
+            if o2 > o1:
+                X["Xr"][ny, nx - 1, :nd] *= scale
+                X["Xl"][ny, nx, :nd] *= 1.0 / scale
+            else:  # revert (reference tnac4o/tnac4o.py:1957-1959)
+                Lc[ny] *= (1.0 / full)[None, :, None]
+                Rc[ny] *= full[None, :, None]
+
+        RRe = np.zeros((D, D))
+        RRe[0, 0] = 1.0
+        R[Ny] = RRe
+        for ny in range(Ny - 1, -1, -1):
+            _try_rebalance(ny, R[ny], R[ny + 1])
+            if ny > 0:
+                _orth_right_absorb(Lc, ny)
+                _orth_right_absorb(Rc, ny)
+                R[ny] = _mix_right(R[ny + 1], Rc[ny], Lc[ny])
+
+        for ny in range(Ny):
+            _try_rebalance(ny, R[ny], R[ny + 1])
+            if ny < Ny - 1:
+                _orth_left_absorb(Lc, ny)
+                _orth_left_absorb(Rc, ny)
+                R[ny + 1] = _mix_left(R[ny], Rc[ny], Lc[ny])
+
+    return X
+
+
 def balance_ud(problem, beta, gauges, Dmax=8, graduate_truncation=False,
                tolS=1e-16, tolV=1e-10, max_sweeps=20, max_scale=1024):
     """One up-down balancing sweep at inverse temperature ``beta``.

@@ -108,8 +108,12 @@ class Solver:
     def precondition(self, mode="balancing", steps=2, beta_cond=None,
                      Dmax_cond=None, max_scale=1024,
                      graduate_truncation=False, tolS=1e-16, tolV=1e-10,
-                     max_sweeps=20):
-        """Balancing preconditioner (reference `tnac4o/tnac4o.py:342-379`)."""
+                     max_sweeps=20, directions=("ud",)):
+        """Balancing preconditioner (reference `tnac4o/tnac4o.py:342-379`).
+
+        ``directions`` may include 'ud' and/or 'lr'; the reference runs only
+        'ud' (its 'lr' call is commented out, `tnac4o/tnac4o.py:374-377`).
+        """
         from . import precondition as _pre
         if mode != "balancing":
             raise ValueError("only mode='balancing' is implemented")
@@ -121,12 +125,14 @@ class Solver:
             from . import engine as _engine
             grid = _engine.pad_grid(self.problem)
             self._gauges = _engine.identity_gauges(grid)
+        sweeps = {"ud": _pre.balance_ud, "lr": _pre.balance_lr}
         for beta, D in zip(beta_cond, Dmax_cond):
             self.logger.info("Preconditioning with beta = %.2f", beta)
-            self._gauges = _pre.balance_ud(
-                self.problem, beta, self._gauges, Dmax=D,
-                graduate_truncation=graduate_truncation, tolS=tolS, tolV=tolV,
-                max_sweeps=max_sweeps, max_scale=max_scale)
+            for direction in directions:
+                self._gauges = sweeps[direction](
+                    self.problem, beta, self._gauges, Dmax=D,
+                    graduate_truncation=graduate_truncation, tolS=tolS,
+                    tolV=tolV, max_sweeps=max_sweeps, max_scale=max_scale)
 
     def search_ground_state(self, M=2 ** 10, relative_P_cutoff=1e-6,
                             min_dEng=1e-12, graduate_truncation=True,

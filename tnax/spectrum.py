@@ -346,6 +346,37 @@ def decode_low_energy_states(ins, max_dEng=0.0, max_states=1024):
     return Eng[0]
 
 
+def excitations_to_list(el):
+    """Excitation tree -> nested lists (reference
+    `_exc_excitations_to_list`, `tnac4o/tnac4o.py:2379-2388`)."""
+    return [[exc[0], excitations_to_list(exc[1])] for exc in el]
+
+
+def exc_export_shapes(ins, el=None, ind=-1, d=None):
+    """RMF droplet shapes as {index: [dEng, [[x, y], ...]]} (reference
+    `_exc_export_shapes`, `tnac4o/tnac4o.py:2390-2404`)."""
+    if ins.mode != "RMF":
+        raise ValueError("exc_export_shapes is defined for RMF mode")
+    el = ins.el if el is None else el
+    d = {} if d is None else d
+    for exc in el:
+        ind += 1
+        dpos = ins.d[exc[0][1]][0]
+        nx = np.mod(dpos, ins.adj_Nx)
+        ny = dpos // ins.adj_Nx
+        d[ind] = [exc[0][0], [[int(x), int(y)] for x, y in zip(nx, ny)]]
+        if exc[1]:
+            d = exc_export_shapes(ins, exc[1], ind, d)
+    return d
+
+
+def exc_show_properties(ins):
+    """Reference `_exc_show_properties` (`tnac4o/tnac4o.py:2043-2049`)."""
+    print("Excitation encoding  :", ins.excitations_encoding)
+    print("Size of dictionary   :", len(ins.d))
+    print("Exc in first layer   :", len(ins.el))
+
+
 def exc_print(ins, el=None, layer=1):
     """Display the excitation tree (reference `exc_print`,
     `tnac4o/tnac4o.py:2406-2423`)."""
