@@ -111,21 +111,26 @@ def peps_rows(Es, Esl, Esu, dmap, rmap, Xl, Xr, Xu, Xd, beta, *, lh, lv):
       Xl/Xr (..., lh), Xu/Xd (..., lv): balancing gauges.
 
     Returns:
-      B  (..., Np, lh, lv)  gauged Boltzmann factor (l, u legs explicit;
-                            d, r gauges folded in via dmap/rmap gathers),
+      lB (..., Np, lh, lv)  log of the gauged Boltzmann factor (l, u legs
+                            explicit; d, r gauges folded in via dmap/rmap
+                            gathers); -inf on padding,
       Wt (..., lh, lv, lh, lv)  physically traced tensor, legs (l, d, r, u).
     """
     expo = Es[..., None, None] + Esl[..., :, None] + Esu[..., None, :]
-    B0 = jnp.exp(-beta * expo)  # +inf padding -> 0
     Xd_s = jnp.take_along_axis(Xd, dmap, axis=-1)   # (..., Np)
     Xr_s = jnp.take_along_axis(Xr, rmap, axis=-1)
-    B = B0 * Xl[..., None, :, None] * Xu[..., None, None, :] \
-        * (Xd_s * Xr_s)[..., :, None, None]
+    # log-domain Boltzmann factor: exact relative weights even when
+    # exp(-beta*E) underflows the compute dtype (f32 at beta=3 underflows
+    # at E ~ 30; the f64 reference never hits this, tnac4o.py:1589)
+    lB = -beta * expo + jnp.log(Xl)[..., None, :, None] \
+        + jnp.log(Xu)[..., None, None, :] \
+        + jnp.log(Xd_s * Xr_s)[..., :, None, None]
+    B = jnp.exp(lB)
     dr = dmap * lh + rmap                            # (..., Np), d-major
     P = jax.nn.one_hot(dr, lv * lh, dtype=B.dtype)   # (..., Np, lv*lh)
     Wt = jnp.einsum("...slu,...sk->...lku", B, P)
     Wt = Wt.reshape(Wt.shape[:-3] + (lh, lv, lh, lv))
-    return B, Wt
+    return lB, Wt
 
 
 def _absorb_row(mps, Wrow, conj, Dmax, tolS, tolV, max_sweeps, graduate,
@@ -278,10 +283,10 @@ def row_right_envs(AT_row, Wt_row, uidx):
 
 
 @jax.jit
-def marginal_step(B, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
+def marginal_step(lB, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
     """Normalized conditional marginals of one site for all branches.
 
-    B:       (Np, lh, lv) gauged Boltzmann factor of the site.
+    lB:      (Np, lh, lv) log of the gauged Boltzmann factor of the site.
     drindex: (Np,) int, dmap*lh + rmap.
     AT:      (D, lv, D) boundary-MPS tensor below the site.
     RL:      (M, D) left environments.
@@ -289,18 +294,24 @@ def marginal_step(B, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
     lidx/uidx: (M,) left/up leg indices per branch.
     nvalid:  number of valid block states (scalar, may be traced).
 
+    The Boltzmann column of each branch is exponentiated only after
+    subtracting its own maximum, so deep-tail branches keep exact relative
+    weights even when exp(-beta*E) underflows the compute dtype.
+
     Returns (Pn, mPn): probabilities (M, Np) normalized over the valid
     states, and the per-branch "negativeness" red flag. Reference
     `_calculate_Pn` (`tnac4o/tnac4o.py:1786-1807`).
     """
-    Np, lh, lv = B.shape
+    Np, lh, lv = lB.shape
     M, D = RL.shape
     T1 = (RL @ AT.reshape(D, lv * D)).reshape(M, lv, D)
     T2 = jnp.einsum("mvb,mbl->mvl", T1, RRsel)          # (M, lv, lh)
     g = jnp.take_along_axis(T2.reshape(M, lv * lh), drindex[None, :],
                             axis=1)                     # (M, Np)
-    Blu = B.reshape(Np, lh * lv)[:, lidx * lv + uidx]   # (Np, M)
-    Pn = g * Blu.T
+    lBlu = lB.reshape(Np, lh * lv)[:, lidx * lv + uidx].T   # (M, Np)
+    shift = jnp.max(lBlu, axis=1, keepdims=True)
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    Pn = g * jnp.exp(lBlu - shift)
     smask = jnp.arange(Np) < nvalid
     Pn = jnp.where(smask[None, :], Pn, 0.0)
 

@@ -120,7 +120,7 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
       RL (M, D), vind (M, Nx+1) i32, states (M, L) i32, Eng (M,),
       prob (M,), deg (M,) i32, valid (M,) bool, aidx (M,) i32.
     row: dict with per-row stacked site arrays
-      B (Nx, Np, lh, lv), drindex (Nx, Np) i32, AT (Nx, D, lv, D),
+      lB (Nx, Np, lh, lv) log-Boltzmann, drindex (Nx, Np) i32, AT (Nx, D, lv, D),
       RRs (Nx, M, D, lh)   (row-start right envs, replicated),
       Es (Nx, Np), Esl (Nx, Np, lh), Esu (Nx, Np, lv)  (raw energies),
       dmap/rmap (Nx, Np) i32, nvalid (Nx,) i32, cols (Nx,) i32 state column.
@@ -129,18 +129,18 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
     holds M_local = M/n branches; global cutoff and beam re-formation use
     pmax/all_gather.
     """
-    Np = row["B"].shape[1]
+    Np = row["lB"].shape[1]
 
     def site(carry, xs):
         RL, vind, states, Eng, prob, deg, valid, aidx = carry
-        (nx, B, drindex, AT, Es_t, Esl_t, Esu_t, dmap, rmap, nvalid,
+        (nx, lB, drindex, AT, Es_t, Esl_t, Esu_t, dmap, rmap, nvalid,
          col) = xs
         Ml = RL.shape[0]
 
         RRsel = row["RRs"][nx][aidx]   # RRs replicated over the beam axis
         lidx = vind[:, nx]
         uidx = vind[:, nx + 1]
-        Pn, mPn = engine.marginal_step(B, drindex, AT, RL, RRsel, lidx,
+        Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel, lidx,
                                        uidx, nvalid)
         logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
         probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
@@ -204,7 +204,7 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
                 aidx_m), mPn
 
-    xs = (jnp.arange(Nx, dtype=jnp.int32), row["B"], row["drindex"],
+    xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
           row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
           row["rmap"], row["nvalid"], row["cols"])
     carry = (beam["RL"], beam["vind"], beam["states"], beam["Eng"],
@@ -282,7 +282,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
         RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
                                     beam["vind"][:, 1:])
-        row = dict(B=ctx.B[ny], drindex=ctx.drindex[ny],
+        row = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny],
                    AT=ctx.rhoT[ny + 1], RRs=RRs, Es=EsP[ny], Esl=EslP[ny],
                    Esu=EsuP[ny], dmap=jnp.asarray(ctx.dmap[ny]),
                    rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
@@ -324,7 +324,7 @@ def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff):
                       states=P("data", "beam"), Eng=P("data", "beam"),
                       prob=P("data", "beam"), deg=P("data", "beam"),
                       valid=P("data", "beam"), aidx=P("data", "beam"))
-    row_specs = dict(B=P("data"), drindex=P("data"), AT=P("data"),
+    row_specs = dict(lB=P("data"), drindex=P("data"), AT=P("data"),
                      RRs=P("data"), Es=P("data"), Esl=P("data"),
                      Esu=P("data"), dmap=P("data"), rmap=P("data"),
                      nvalid=P("data"), cols=P("data"))

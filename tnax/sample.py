@@ -56,7 +56,7 @@ def gibbs_sampling(ctx: ContractionContext, M=2 ** 10, Dmax=32, tolS=1e-15,
         for nx in range(Nx):
             n = int(ctx.nstates[ny, nx])
             Pn_d, mPn_d = engine.marginal_step(
-                ctx.B[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
+                ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
                 RL, RRs[nx], jnp.asarray(vind[:, nx]),
                 jnp.asarray(vind[:, nx + 1]), nvalid=n)
             Pn = np.asarray(Pn_d[:, :n], dtype=np.float64)

@@ -58,13 +58,13 @@ class ContractionContext:
     def _build_device_tensors(self):
         g, d = self.grid, self.dtype
         X = self.gauges
-        B, Wt = engine.peps_rows(
+        lB, Wt = engine.peps_rows(
             jnp.asarray(g.Es, d), jnp.asarray(g.Esl, d), jnp.asarray(g.Esu, d),
             jnp.asarray(g.dmap), jnp.asarray(g.rmap),
             jnp.asarray(X["Xl"], d), jnp.asarray(X["Xr"], d),
             jnp.asarray(X["Xu"], d), jnp.asarray(X["Xd"], d),
             jnp.asarray(self.beta, d), lh=g.lh, lv=g.lv)
-        self.B = B                  # (Ny, Nx, Np, lh, lv)
+        self.lB = lB                # (Ny, Nx, Np, lh, lv), log domain
         self.Wt = Wt                # (Ny, Nx, lh, lv, lh, lv)
         self.drindex = jnp.asarray(self.drindex_host)
 
@@ -201,7 +201,7 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
         for nx in range(Nx):
             n = int(ctx.nstates[ny, nx])
             Pn_d, mPn_d = engine.marginal_step(
-                ctx.B[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
+                ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
                 RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
                 jnp.asarray(_pad1(vind[:, nx], M)),
                 jnp.asarray(_pad1(vind[:, nx + 1], M)),

@@ -436,7 +436,7 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
         for nx in range(Nx):
             n = int(ctx.nstates[ny, nx])
             Pn_d, mPn_d = engine.marginal_step(
-                ctx.B[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
+                ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
                 RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
                 jnp.asarray(_pad1(vind[:, nx], M)),
                 jnp.asarray(_pad1(vind[:, nx + 1], M)), nvalid=n)
