@@ -10,7 +10,10 @@ Public API mirrors the reference package (`tnac4o/__init__.py:1-2`).
 """
 
 from .config import ensure_precision, compute_dtype
-from .solver import Solver, tnac4o, load
+
+ensure_precision()  # apply TNAX_PLATFORM / x64 before any backend use
+
+from .solver import Solver, tnac4o, load  # noqa: E402
 from .problems import (load_Jij, round_Jij, minus_Jij, Jij_f2p,
                        energy_Jij, energy_RMF)
 

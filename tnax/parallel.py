@@ -301,6 +301,105 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                 negative_probability=min(globalmin, 0.0))
 
 
+def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
+                    Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
+                    graduate_truncation=True, mesh=None):
+    """Batched device-resident GS search over same-shape instances.
+
+    The production fleet mode (BASELINE.md: 100 droplet instances x 4
+    rotations): every stage — boundary-MPS stacks, row environments, the
+    full beam row step — is vmapped over the instance axis so all QR/SVD and
+    marginal matmuls batch onto the MXU. With ``mesh`` (axis 'data'),
+    instances are sharded across devices (pure data parallelism; no
+    collectives needed, SURVEY.md section 5.8).
+
+    Returns a list of result dicts (same schema as device_search_gs).
+    """
+    assert ctxs, "need at least one context"
+    c0 = ctxs[0]
+    for c in ctxs:
+        assert (c.Ny, c.Nx, c.Np, c.lh, c.lv) == \
+            (c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv), "instances must share shapes"
+    B = len(ctxs)
+    Ny, Nx, Np, lh, lv = c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv
+    dtype = c0.dtype
+    D = Dmax
+    bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else NEG
+
+    Wt = jnp.stack([c.Wt for c in ctxs])          # (B, Ny, Nx, ...)
+    lB = jnp.stack([c.lB for c in ctxs])
+    drindex = jnp.stack([c.drindex for c in ctxs])
+    eng_rows = [_padded_energy_rows(c) for c in ctxs]
+    EsP = jnp.stack([e[0] for e in eng_rows])
+    EslP = jnp.stack([e[1] for e in eng_rows])
+    EsuP = jnp.stack([e[2] for e in eng_rows])
+    nvalid = jnp.stack([jnp.asarray(c.nstates, jnp.int32) for c in ctxs])
+    cols = jnp.broadcast_to(
+        (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+         + jnp.arange(Nx, dtype=jnp.int32)[None, :])[None], (B, Ny, Nx))
+
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        shard = NamedSharding(mesh, P("data"))
+        Wt, lB, drindex, EsP, EslP, EsuP, nvalid, cols = (
+            jax.device_put(x, shard)
+            for x in (Wt, lB, drindex, EsP, EslP, EsuP, nvalid, cols))
+
+    build = jax.vmap(lambda w: engine.build_rhoT(
+        w, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation))
+    rhoT, _, _, _ = jax.jit(build)(Wt)            # (B, Ny+1, Nx, D, lv, D)
+
+    step1 = partial(row_step, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+                    log2_cutoff=log2_cutoff)
+    stepB = jax.jit(jax.vmap(step1))
+    envsB = jax.jit(jax.vmap(engine.row_right_envs))
+
+    beam = dict(
+        RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
+        vind=jnp.zeros((B, M, Nx + 1), jnp.int32),
+        states=jnp.zeros((B, M, Nx * Ny), jnp.int32),
+        Eng=jnp.zeros((B, M), dtype),
+        prob=jnp.full((B, M), NEG, dtype).at[:, 0].set(0.0),
+        deg=jnp.ones((B, M), jnp.int32),
+        valid=jnp.zeros((B, M), bool).at[:, 0].set(True),
+        aidx=jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M)),
+    )
+    if shard is not None:
+        beam = {k: jax.device_put(v, shard) for k, v in beam.items()}
+    globalmin = np.zeros(B)
+    for ny in range(Ny):
+        beam["aidx"] = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None], (B, M))
+        beam["RL"] = jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0)
+        RRs = envsB(rhoT[:, ny + 1], Wt[:, ny], beam["vind"][:, :, 1:])
+        row = dict(lB=lB[:, ny], drindex=drindex[:, ny],
+                   AT=rhoT[:, ny + 1], RRs=RRs, Es=EsP[:, ny],
+                   Esl=EslP[:, ny], Esu=EsuP[:, ny],
+                   dmap=jnp.stack([jnp.asarray(c.dmap[ny]) for c in ctxs]),
+                   rmap=jnp.stack([jnp.asarray(c.rmap[ny]) for c in ctxs]),
+                   nvalid=nvalid[:, ny], cols=cols[:, ny])
+        beam, mq = stepB(beam, row)
+        globalmin = np.minimum(globalmin, np.asarray(mq, dtype=np.float64))
+
+    out = []
+    valid = np.asarray(beam["valid"])
+    Eng = np.asarray(beam["Eng"], dtype=np.float64)
+    prob = np.asarray(beam["prob"], dtype=np.float64)
+    deg = np.asarray(beam["deg"])
+    states = np.asarray(beam["states"])
+    for b in range(B):
+        v = valid[b]
+        best = int(np.argmin(np.where(v, Eng[b], np.inf)))
+        out.append(dict(energy=Eng[b, best], states=states[b, best],
+                        prob=prob[b, best], degeneracy=int(deg[b, best]),
+                        negative_probability=min(float(globalmin[b]), 0.0)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # multi-chip wrappers
 # ---------------------------------------------------------------------------

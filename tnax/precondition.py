@@ -173,10 +173,14 @@ def balance_lr(problem, beta, gauges, Dmax=8, graduate_truncation=False,
 
 
 def balance_ud(problem, beta, gauges, Dmax=8, graduate_truncation=False,
-               tolS=1e-16, tolV=1e-10, max_sweeps=20, max_scale=1024):
+               tolS=1e-16, tolV=1e-10, max_sweeps=20, max_scale=1024,
+               overlaps_out=None):
     """One up-down balancing sweep at inverse temperature ``beta``.
 
     Returns the updated gauges dict (Xd[ny-1]*Xu[ny] == 1 invariant kept).
+    If ``overlaps_out`` is a list, appends a (2, Ny-1) array of the
+    worst-case normalized mixed overlaps before/after rescaling per
+    interface (reference `overlaps_ud`, `tnac4o/tnac4o.py:1861-1863,1917`).
     """
     max_scale = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
     ctx = ContractionContext(problem, beta, gauges=gauges)
@@ -191,6 +195,7 @@ def balance_ud(problem, beta, gauges, Dmax=8, graduate_truncation=False,
     X = {k: v.copy() for k, v in gauges.items()}
     Ny, Nx, lv = ctx.Ny, ctx.Nx, ctx.lv
     ldims = problem.ld  # (Ny, Nx) valid vertical leg dims
+    overlaps = np.ones((2, max(Ny - 1, 0)))
 
     for ny in range(1, Ny):
         # self = rhoB[ny] (rows above), phi = rhoT[ny] (rows below);
@@ -214,8 +219,15 @@ def balance_ud(problem, beta, gauges, Dmax=8, graduate_truncation=False,
             scale = _balance_scale(env, max_scale)
             full = np.ones(lv)
             full[:nd] = scale
+            o1 = _expectation(RL, RR, T[nx], B[nx]) \
+                / max(np.linalg.norm(B[nx]) * np.linalg.norm(T[nx]), 1e-300)
             B[nx] *= full[None, :, None]
             T[nx] *= (1.0 / full)[None, :, None]
+            o2 = _expectation(RL, RR, T[nx], B[nx]) \
+                / max(np.linalg.norm(B[nx]) * np.linalg.norm(T[nx]), 1e-300)
+            if o1 < overlaps[0, ny - 1]:
+                overlaps[0, ny - 1] = o1
+                overlaps[1, ny - 1] = max(o1, o2)
             X["Xd"][ny - 1, nx, :nd] *= scale
             X["Xu"][ny, nx, :nd] *= 1.0 / scale
 
@@ -244,4 +256,6 @@ def balance_ud(problem, beta, gauges, Dmax=8, graduate_truncation=False,
                 if nrm > 0:
                     R[nx + 1] = R[nx + 1] / nrm
 
+    if overlaps_out is not None:
+        overlaps_out.append(overlaps)
     return X

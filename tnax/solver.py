@@ -126,13 +126,21 @@ class Solver:
             grid = _engine.pad_grid(self.problem)
             self._gauges = _engine.identity_gauges(grid)
         sweeps = {"ud": _pre.balance_ud, "lr": _pre.balance_lr}
+        overlaps = []
         for beta, D in zip(beta_cond, Dmax_cond):
             self.logger.info("Preconditioning with beta = %.2f", beta)
             for direction in directions:
+                kw = dict(Dmax=D, graduate_truncation=graduate_truncation,
+                          tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+                          max_scale=max_scale)
+                if direction == "ud":
+                    kw["overlaps_out"] = overlaps
                 self._gauges = sweeps[direction](
-                    self.problem, beta, self._gauges, Dmax=D,
-                    graduate_truncation=graduate_truncation, tolS=tolS,
-                    tolV=tolV, max_sweeps=max_sweeps, max_scale=max_scale)
+                    self.problem, beta, self._gauges, **kw)
+        # worst-case mixed overlaps per interface, one row pair per sweep
+        # (reference `overlaps_ud`, tnac4o/tnac4o.py:1917)
+        self.overlaps_ud = np.vstack(overlaps) if overlaps else \
+            np.empty((0, max(self.Ny - 1, 0)))
 
     def search_ground_state(self, M=2 ** 10, relative_P_cutoff=1e-6,
                             min_dEng=1e-12, graduate_truncation=True,
