@@ -61,7 +61,9 @@ def main():
 
     def once():
         t0 = time.time()
-        ctx = ContractionContext(ins.problem, 3.0)
+        ins._gauges = None
+        ins.precondition(mode="balancing")  # f32 stability at beta=3
+        ctx = ins._context()
         if path == "device":
             res = parallel.device_search_gs(ctx, M=M,
                                             relative_P_cutoff=1e-8, Dmax=D)

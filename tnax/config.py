@@ -51,6 +51,11 @@ def ensure_precision() -> None:
         _X64 = backend == "cpu"
     if _X64:
         jax.config.update("jax_enable_x64", True)
+    else:
+        # TPU matmuls default to bfloat16 inputs; the contraction path needs
+        # full f32 mantissas (conditional probabilities are ratios spanning
+        # many orders of magnitude). 3-pass f32 on the MXU is still fast.
+        jax.config.update("jax_default_matmul_precision", "highest")
     if backend != "cpu" and os.environ.get("TNAX_COMPILE_CACHE", "1") != "0":
         # first TPU compiles of QR/SVD pipelines are minutes-long through
         # remote-compile tunnels; persist them across processes

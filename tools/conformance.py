@@ -1,0 +1,143 @@
+"""Conformance sweep against the reference's shipped ground truth.
+
+The instance folders ship per-instance answers (SURVEY.md section 4, "data
+as oracle"): `groundstates_otn2d.txt` for the droplet ensembles and
+`results_C*_J124.txt` for J124 (energy + degeneracy). This tool runs tnax
+over a slice of instances and reports the match rate — the conformance
+suite for large-scale validation beyond the five CI golden values.
+
+Usage:
+  python tools/conformance.py --family droplet --L 128 --n 10 [--path host]
+  python tools/conformance.py --family j124 --C 8 --n 5
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import tnax
+
+INST = os.environ.get("TNAX_INSTANCES", "/root/reference/instances")
+SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),
+          2048: (16, 16, 8)}
+
+
+def droplet_oracle(L):
+    path = os.path.join(INST, "Chimera_droplet_instances",
+                        f"chimera{L}_spinglass_power",
+                        "groundstates_otn2d.txt")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3 or ":" not in line:
+                continue
+            ins = int(parts[0].split(".")[0])
+            out[ins] = float(parts[2])
+    return out
+
+
+def j124_oracle(C):
+    path = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                        f"results_C{C}_J124.txt")
+    if not os.path.exists(path):  # C=12 ships as results_J124_C12.txt
+        path = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                            f"results_J124_C{C}.txt")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 3 and parts[0].isdigit():
+                out[int(parts[0])] = (float(parts[1]), int(parts[2]))
+    return out
+
+
+def run_droplet(L, n, D, M, path, precondition):
+    Nx, Ny, Nc = SHAPES[L]
+    oracle = droplet_oracle(L)
+    results = []
+    for ins_no in range(1, n + 1):
+        f = os.path.join(INST, "Chimera_droplet_instances",
+                         f"chimera{L}_spinglass_power", "%03d.txt" % ins_no)
+        J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=3)
+        if precondition:
+            ins.precondition(mode="balancing")
+        t0 = time.time()
+        if path == "device":
+            from tnax import parallel
+            from tnax.search import ContractionContext
+            ctx = ins._context()
+            r = parallel.device_search_gs(ctx, M=M, relative_P_cutoff=1e-8,
+                                          Dmax=D)
+            ins.states = r["states"][None, :][:, ins.order]
+            E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+        else:
+            ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
+            E = float(ins.energy[0])
+        dt = time.time() - t0
+        ok = abs(E - oracle[ins_no]) < 1e-4
+        results.append(dict(instance=ins_no, energy=E,
+                            oracle=oracle[ins_no], ok=bool(ok),
+                            seconds=round(dt, 2)))
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+def run_j124(C, n, D, M, precondition):
+    Nx = Ny = C
+    oracle = j124_oracle(C)
+    results = []
+    for ins_no in range(1, n + 1):
+        f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                         "%03d.txt" % ins_no)
+        J = tnax.Jij_f2p(tnax.load_Jij(f))
+        best_E, best_deg = np.inf, 0
+        for rot in range(4):
+            ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
+                              beta=0.75)
+            if rot:
+                ins.rotate_graph(rot=rot)
+            if precondition:
+                ins.precondition(mode="balancing")
+            ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
+            if ins.energy[0] < best_E - 1e-9:
+                best_E, best_deg = ins.energy[0], ins.degeneracy
+            elif abs(ins.energy[0] - best_E) < 1e-9:
+                best_deg = max(best_deg, ins.degeneracy)
+        oE, odeg = oracle[ins_no]
+        ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
+        results.append(dict(instance=ins_no, energy=best_E, degeneracy=best_deg,
+                            oracle_energy=oE, oracle_degeneracy=odeg,
+                            ok=bool(ok)))
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", choices=["droplet", "j124"], default="droplet")
+    p.add_argument("--L", type=int, default=128)
+    p.add_argument("--C", type=int, default=8)
+    p.add_argument("--n", type=int, default=10)
+    p.add_argument("--D", type=int, default=None)
+    p.add_argument("--M", type=int, default=None)
+    p.add_argument("--path", choices=["host", "device"], default="host")
+    p.add_argument("--no-pre", dest="pre", action="store_false")
+    p.set_defaults(pre=True)
+    args = p.parse_args()
+
+    if args.family == "droplet":
+        res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
+                          args.path, args.pre)
+    else:
+        res = run_j124(args.C, args.n, args.D or 48, args.M or 4096, args.pre)
+    n_ok = sum(r["ok"] for r in res)
+    print(f"# conformance: {n_ok}/{len(res)} matched")
+    sys.exit(0 if n_ok == len(res) else 1)
