@@ -82,6 +82,9 @@ def main():
     cold, E1 = once()
     warm, E = once()
     ok = abs(E - REF_ENERGY[L]) < 1e-4
+    # marginal evaluations per second (the north-star throughput metric):
+    # every site of the lattice evaluates M x N_block conditional weights
+    evals = M * 256 * Nx * Ny / warm
     print(f"# backend={backend} path={path} L={L} D={D} M={M} "
           f"cold={cold:.1f}s warm={warm:.1f}s E={E:.8f} ref={REF_ENERGY[L]} "
           f"match={ok}", file=sys.stderr)
@@ -93,6 +96,7 @@ def main():
         "energy_matches_reference": bool(ok),
         "energy": E,
         "cold_s": round(cold, 3),
+        "marginal_evals_per_s": round(evals),
         "backend": backend,
         "path": path,
     }))
