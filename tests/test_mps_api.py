@@ -54,3 +54,24 @@ def test_lr_preconditioning_invariant():
     assert np.max(np.abs(X["Xr"][:, :-1] * X["Xl"][:, 1:] - 1)) < 1e-12
     E1 = ins2.search_ground_state(M=128, relative_P_cutoff=1e-12, Dmax=8)[0]
     assert E1 == pytest.approx(E0, abs=1e-9)
+
+
+def test_measure_O2_matches_dense():
+    rng = np.random.default_rng(3)
+    A = random_mps(rng, L=4, D=3, d=2, Dpad=4)
+    psi = dense_state(A).reshape([2] * 4)
+    O = rng.normal(size=(2, 2, 2, 2))
+    got = bmps.measure_O2(A, O)
+    norm = np.sum(psi ** 2)
+    for n in range(3):
+        c = np.tensordot(O, psi, axes=([2, 3], [n, n + 1]))
+        c = np.moveaxis(c, [0, 1], [n, n + 1])
+        want = np.sum(psi * c) / norm
+        assert got[n] == pytest.approx(want, rel=1e-9)
+
+
+def test_describe():
+    rng = np.random.default_rng(4)
+    A = random_mps(rng, L=3, D=2, d=2, Dpad=4)
+    s = bmps.describe(bmps.MPS(A=A, lognorm=jnp.zeros(())))
+    assert "L=3" in s and "ranks" in s

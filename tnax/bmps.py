@@ -616,6 +616,53 @@ def measure_O1(A: jax.Array, O: jax.Array) -> jax.Array:
     return vals / norm
 
 
+def measure_O2(A: jax.Array, O: jax.Array) -> jax.Array:
+    """<psi|O_{n,n+1}|psi> for a two-site operator at every bond,
+    normalized (reference `measure_O2`, `tnac4o/mps.py:316-329`).
+
+    A: stacked MPS (L, D, d, D); O: (d, d, d, d) or (L-1, d, d, d, d) with
+    legs (out1, out2, in1, in2)."""
+    import numpy as np_
+    A = np_.asarray(A)
+    L, D, d, _ = A.shape
+    O = np_.asarray(O)
+    if O.ndim == 4:
+        O = np_.broadcast_to(O, (L - 1,) + O.shape)
+    RRs = [None] * (L + 1)
+    RRs[L] = np_.zeros((D, D))
+    RRs[L][0, 0] = 1.0
+    for n in range(L - 1, -1, -1):
+        RRs[n] = np_.einsum("adb,bc,edc->ae", A[n], RRs[n + 1], A[n])
+    norm = RRs[0][0, 0]
+    rl = np_.zeros((D, D))
+    rl[0, 0] = 1.0
+    out = np_.zeros(L - 1)
+    for n in range(L - 1):
+        AA = np_.einsum("adb,bec->adec", A[n], A[n + 1])  # (a, d1, d2, c)
+        T = np_.einsum("xa,adec->xdec", rl, AA)
+        # bra phys = O out legs (p, q), ket phys = O in legs (d, e)
+        out[n] = np_.einsum("xdec,pqde,xpqg,cg->", T, O[n], AA,
+                            RRs[n + 2]) / norm
+        rl = np_.einsum("xa,adb,xdc->cb", rl, A[n], A[n])
+    return out
+
+
+def describe(mps: MPS) -> str:
+    """Human-readable MPS summary (reference `show_properties`,
+    `tnac4o/mps.py:125-135`)."""
+    import numpy as np_
+    L, Dl, d, Dr = mps.A.shape
+    ranks = []
+    A = mps.A
+    for n in range(L):
+        sv = np_.linalg.svd(np_.asarray(A[n]).reshape(-1, Dr),
+                            compute_uv=False)
+        tol = sv[0] * 1e-12 if sv.size and sv[0] > 0 else 0
+        ranks.append(int((sv > tol).sum()))
+    return (f"L={L} pad(D={Dl}, d={d}) bond ranks={ranks} "
+            f"lognorm={float(mps.lognorm):.3f}")
+
+
 def measure_correlations(A: jax.Array, O: jax.Array) -> jax.Array:
     """All two-point correlators <psi|O_n O_m|psi>, normalized
     (reference `measure_correlations`, `tnac4o/mps.py:331-351`).

@@ -161,14 +161,19 @@ class Solver:
         return self.energy
 
     def gibbs_sampling(self, M=2 ** 10, graduate_truncation=True, Dmax=32,
-                       tolS=1e-15, tolV=1e-10, max_sweeps=20):
+                       tolS=1e-15, tolV=1e-10, max_sweeps=20, seed=None):
         """Sample M configurations from the Gibbs distribution (reference
-        `tnac4o/tnac4o.py:553-650`). Returns sampled energies."""
+        `tnac4o/tnac4o.py:553-650`). Returns sampled energies.
+
+        ``seed`` (new vs the reference, which uses the global NumPy RNG)
+        makes sampling reproducible."""
         from . import sample as _sample
+        import numpy as _np
         ctx = self._context()
         res = _sample.gibbs_sampling(
             ctx, M=M, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
-            graduate_truncation=graduate_truncation)
+            graduate_truncation=graduate_truncation,
+            rng=_np.random.default_rng(seed) if seed is not None else None)
         self.energy = res.energy
         self.probability = np.zeros(1)
         self.degeneracy = 0
