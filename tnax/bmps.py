@@ -276,14 +276,22 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
     rl0 = jnp.zeros((D, F), dtype=dtype).at[0, 0].set(1.0)
     rr_triv = jnp.zeros((F, D), dtype=dtype).at[0, 0].set(1.0)
 
-    def setup(carry, xs):
-        p, a = xs
-        rl = _mix_left(carry, p, a)
-        return rl, rl
+    def _rescale(F, ln):
+        # keep env chains in range: the target can be unnormalized and f32
+        # on TPU flushes subnormals to zero (see variational_implicit)
+        nf = nfactor(F)
+        return F / nf, ln + jnp.log2(nf)
 
-    rl_last, RLs_tail = lax.scan(setup, rl0, (phi, A0))
+    def setup(carry, xs):
+        rl, ln = carry
+        p, a = xs
+        rl, ln = _rescale(_mix_left(rl, p, a), ln)
+        return (rl, ln), rl
+
+    (rl_last, ln0), RLs_tail = lax.scan(setup, (rl0, jnp.zeros((), dtype)),
+                                        (phi, A0))
     RLs = jnp.concatenate([rl0[None], RLs_tail], axis=0)  # (L+1, D, F)
-    overlap0 = RLs[L][0, 0]
+    overlap0 = RLs[L][0, 0] * jnp.exp2(ln0)
 
     S0 = jnp.zeros((L + 1, D), dtype=dtype).at[:, 0].set(1.0)
 
@@ -297,8 +305,9 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
             An = Q.T.reshape(D, d, D)
             C = R.T
             sv = jnp.linalg.svd(C, compute_uv=False)
+            sv = sv / jnp.maximum(sv[0], jnp.finfo(dtype).tiny)
             S = S.at[n].set(sv)
-            RRn = _mix_right(RR, p, An)
+            RRn, _ = _rescale(_mix_right(RR, p, An), jnp.zeros((), dtype))
             return (RRn, S), (An, RRn)
 
         ns = jnp.arange(1, L)
@@ -312,23 +321,25 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
     def left_sweep(A, S, RRs):
         """Optimize sites 0..L-1; returns A, S, RLs, diff, overlap."""
         def step(carry, xs):
-            RL, S, diff = carry
+            RL, ln, S, diff = carry
             n, p, rr = xs
             B = _project(RL, p, rr)
             Q, R = qr_fixed(B.reshape(D * d, D))
             An = Q.reshape(D, d, D)
             sv = jnp.linalg.svd(R, compute_uv=False)
+            sv = sv / jnp.maximum(sv[0], jnp.finfo(dtype).tiny)
             dS = jnp.sqrt(jnp.sum((S[n + 1] - sv) ** 2))
             S = S.at[n + 1].set(sv)
             diff = jnp.maximum(diff, dS)
-            RLn = _mix_left(RL, p, An)
-            return (RLn, S, diff), (An, RLn)
+            RLn, ln = _rescale(_mix_left(RL, p, An), ln)
+            return (RLn, ln, S, diff), (An, RLn)
 
         ns = jnp.arange(L)
-        (rl_last, S, diff), (Anew, RL_tail) = lax.scan(
-            step, (rl0, S, jnp.zeros((), dtype)), (ns, phi, RRs))
+        (rl_last, ln, S, diff), (Anew, RL_tail) = lax.scan(
+            step, (rl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype)),
+            (ns, phi, RRs))
         RLs = jnp.concatenate([rl0[None], RL_tail], axis=0)
-        overlap = rl_last[0, 0]
+        overlap = rl_last[0, 0] * jnp.exp2(ln)
         return Anew, S, RLs, diff, overlap
 
     def cond(st):
@@ -494,14 +505,25 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
         t2 = half_project(F, p, Wn)
         return jnp.einsum("mbur,brk->muk", t2, G)      # (m, u, k)
 
-    def setup(F, xs):
-        p, Wn, a = xs
-        F = upd_left(F, p, Wn, a)
-        return F, F
+    def _rescale(F, ln):
+        # per-site power-of-2 rescaling of the environment chain. The
+        # target phi∘W is unnormalized (norm can be 2^+-100); without this
+        # the env products cross the f32 subnormal range, which TPUs flush
+        # to zero, collapsing the ALS projections. log2 factors accumulate
+        # in `ln` so the overlap diagnostic keeps its absolute value.
+        nf = nfactor(F)
+        return F / nf, ln + jnp.log2(nf)
 
-    F_last, FL_tail = lax.scan(setup, fl0, (phi_A, Wc, A0))
+    def setup(carry, xs):
+        F, ln = carry
+        p, Wn, a = xs
+        F, ln = _rescale(upd_left(F, p, Wn, a), ln)
+        return (F, ln), F
+
+    (F_last, ln0), FL_tail = lax.scan(setup, (fl0, jnp.zeros((), dtype)),
+                                      (phi_A, Wc, A0))
     FLs = jnp.concatenate([fl0[None], FL_tail], axis=0)
-    overlap0 = FLs[L][0, 0, 0]
+    overlap0 = FLs[L][0, 0, 0] * jnp.exp2(ln0)
     S0 = jnp.zeros((L + 1, Dn), dtype=dtype).at[:, 0].set(1.0)
 
     def right_sweep(A, S, FLs):
@@ -512,8 +534,10 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
             Q, R = qr_fixed(B.reshape(Dn, du * Dn).T)
             An = Q.T.reshape(Dn, du, Dn)
             sv = jnp.linalg.svd(R.T, compute_uv=False)
+            sv = sv / jnp.maximum(sv[0], jnp.finfo(dtype).tiny)
             S = S.at[n].set(sv)
-            FRn = upd_right(FR, p, Wn, An)
+            FRn, _ = _rescale(upd_right(FR, p, Wn, An),
+                              jnp.zeros((), dtype))
             return (FRn, S), (An, FRn)
 
         ns = jnp.arange(1, L)
@@ -525,23 +549,25 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
 
     def left_sweep(A, S, FRs):
         def step(carry, xs):
-            FL, S, diff = carry
+            FL, ln, S, diff = carry
             n, p, Wn, fr = xs
             B = project(FL, p, Wn, fr)
             Q, R = qr_fixed(B.reshape(Dn * du, Dn))
             An = Q.reshape(Dn, du, Dn)
             sv = jnp.linalg.svd(R, compute_uv=False)
+            sv = sv / jnp.maximum(sv[0], jnp.finfo(dtype).tiny)
             dS = jnp.sqrt(jnp.sum((S[n + 1] - sv) ** 2))
             S = S.at[n + 1].set(sv)
             diff = jnp.maximum(diff, dS)
-            FLn = upd_left(FL, p, Wn, An)
-            return (FLn, S, diff), (An, FLn)
+            FLn, ln = _rescale(upd_left(FL, p, Wn, An), ln)
+            return (FLn, ln, S, diff), (An, FLn)
 
         ns = jnp.arange(L)
-        (fl_last, S, diff), (Anew, FL_tail) = lax.scan(
-            step, (fl0, S, jnp.zeros((), dtype)), (ns, phi_A, Wc, FRs))
+        (fl_last, ln, S, diff), (Anew, FL_tail) = lax.scan(
+            step, (fl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype)),
+            (ns, phi_A, Wc, FRs))
         FLs = jnp.concatenate([fl0[None], FL_tail], axis=0)
-        return Anew, S, FLs, diff, fl_last[0, 0, 0]
+        return Anew, S, FLs, diff, fl_last[0, 0, 0] * jnp.exp2(ln)
 
     def cond(st):
         return (st[3] > tol) & (st[5] < max_sweeps)
