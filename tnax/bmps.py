@@ -319,9 +319,9 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
         return Anew, S, RRs
 
     def left_sweep(A, S, RRs):
-        """Optimize sites 0..L-1; returns A, S, RLs, diff, overlap."""
+        """Optimize sites 0..L-1; returns A, S, RLs, diff, overlap, lnstate."""
         def step(carry, xs):
-            RL, ln, S, diff = carry
+            RL, ln, S, diff, lnstate = carry
             n, p, rr = xs
             B = _project(RL, p, rr)
             Q, R = qr_fixed(B.reshape(D * d, D))
@@ -331,30 +331,32 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
             dS = jnp.sqrt(jnp.sum((S[n + 1] - sv) ** 2))
             S = S.at[n + 1].set(sv)
             diff = jnp.maximum(diff, dS)
+            lnstate = ln + jnp.log2(
+                jnp.maximum(jnp.abs(R[0, 0]), jnp.finfo(dtype).tiny))
             RLn, ln = _rescale(_mix_left(RL, p, An), ln)
-            return (RLn, ln, S, diff), (An, RLn)
+            return (RLn, ln, S, diff, lnstate), (An, RLn)
 
         ns = jnp.arange(L)
-        (rl_last, ln, S, diff), (Anew, RL_tail) = lax.scan(
-            step, (rl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype)),
-            (ns, phi, RRs))
+        (rl_last, ln, S, diff, lnstate), (Anew, RL_tail) = lax.scan(
+            step, (rl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype),
+                   jnp.zeros((), dtype)), (ns, phi, RRs))
         RLs = jnp.concatenate([rl0[None], RL_tail], axis=0)
         overlap = rl_last[0, 0] * jnp.exp2(ln)
-        return Anew, S, RLs, diff, overlap
+        return Anew, S, RLs, diff, overlap, lnstate
 
     def cond(st):
-        _, _, _, diff, _, sweeps = st
-        return (diff > tol) & (sweeps < max_sweeps)
+        return (st[3] > tol) & (st[5] < max_sweeps)
 
     def body(st):
-        A, S, RLs, _, _, sweeps = st
+        A, S, RLs, _, _, sweeps, _ = st
         A, S, RRs = right_sweep(A, S, RLs)
-        A, S, RLs, diff, overlap = left_sweep(A, S, RRs)
-        return (A, S, RLs, diff, overlap, sweeps + 1)
+        A, S, RLs, diff, overlap, lnstate = left_sweep(A, S, RRs)
+        return (A, S, RLs, diff, overlap, sweeps + 1, lnstate)
 
-    st = (A0, S0, RLs, jnp.ones((), dtype), overlap0, jnp.zeros((), jnp.int32))
-    A, S, RLs, diff, overlap, sweeps = lax.while_loop(cond, body, st)
-    return MPS(A=A, lognorm=mps.lognorm), overlap
+    st = (A0, S0, RLs, jnp.ones((), dtype), overlap0,
+          jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
+    A, S, RLs, diff, overlap, sweeps, lnstate = lax.while_loop(cond, body, st)
+    return MPS(A=A, lognorm=mps.lognorm + lnstate), overlap
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +379,7 @@ def compress(mps: MPS, Dmax: int, *, tolS: float, tolV: float,
     Dfat = mps.A.shape[1]
     mps, _ = canonize_right(mps)
     phi = mps.A  # compression target (right-canonical fat MPS)
+    phi_lognorm = mps.lognorm
     disc_total = jnp.zeros((), mps.A.dtype)
 
     if graduate:
@@ -394,6 +397,7 @@ def compress(mps: MPS, Dmax: int, *, tolS: float, tolV: float,
     mps, disc = canonize_left(mps, compress=True, cap=cap, tol=tolS)
     disc_total = jnp.maximum(disc_total, disc)
     mps = slice_bond(mps, cap)
+    mps = mps._replace(lognorm=phi_lognorm)  # variational rebuilds the norm
     mps, overlap = variational_compress(mps, phi, tol=tolV,
                                         max_sweeps=max_sweeps)
     mps = pad_bond(mps, Dmax)
@@ -549,7 +553,7 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
 
     def left_sweep(A, S, FRs):
         def step(carry, xs):
-            FL, ln, S, diff = carry
+            FL, ln, S, diff, lnstate = carry
             n, p, Wn, fr = xs
             B = project(FL, p, Wn, fr)
             Q, R = qr_fixed(B.reshape(Dn * du, Dn))
@@ -559,29 +563,36 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
             dS = jnp.sqrt(jnp.sum((S[n + 1] - sv) ** 2))
             S = S.at[n + 1].set(sv)
             diff = jnp.maximum(diff, dS)
+            # At the LAST site the right env is trivial (scale-free), so
+            # |R[0,0]| * 2^ln is the norm of the projected state (all
+            # other sites end up orthonormal). ln is the left-chain scale
+            # at projection time.
+            lnstate = ln + jnp.log2(
+                jnp.maximum(jnp.abs(R[0, 0]), jnp.finfo(dtype).tiny))
             FLn, ln = _rescale(upd_left(FL, p, Wn, An), ln)
-            return (FLn, ln, S, diff), (An, FLn)
+            return (FLn, ln, S, diff, lnstate), (An, FLn)
 
         ns = jnp.arange(L)
-        (fl_last, ln, S, diff), (Anew, FL_tail) = lax.scan(
-            step, (fl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype)),
-            (ns, phi_A, Wc, FRs))
+        (fl_last, ln, S, diff, lnstate), (Anew, FL_tail) = lax.scan(
+            step, (fl0, jnp.zeros((), dtype), S, jnp.zeros((), dtype),
+                   jnp.zeros((), dtype)), (ns, phi_A, Wc, FRs))
         FLs = jnp.concatenate([fl0[None], FL_tail], axis=0)
-        return Anew, S, FLs, diff, fl_last[0, 0, 0] * jnp.exp2(ln)
+        return Anew, S, FLs, diff, fl_last[0, 0, 0] * jnp.exp2(ln), lnstate
 
     def cond(st):
         return (st[3] > tol) & (st[5] < max_sweeps)
 
     def body(st):
-        A, S, FLs, _, _, sweeps = st
+        A, S, FLs, _, _, sweeps, _ = st
         A, S, FRs = right_sweep(A, S, FLs)
-        A, S, FLs, diff, overlap = left_sweep(A, S, FRs)
-        return (A, S, FLs, diff, overlap, sweeps + 1)
+        A, S, FLs, diff, overlap, ln_state = left_sweep(A, S, FRs)
+        return (A, S, FLs, diff, overlap, sweeps + 1, ln_state)
 
     st = (A0, S0, FLs, jnp.ones((), dtype), overlap0,
-          jnp.zeros((), jnp.int32))
-    A, S, FLs, diff, overlap, sweeps = lax.while_loop(cond, body, st)
-    return MPS(A=A, lognorm=mps.lognorm), overlap
+          jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
+    A, S, FLs, diff, overlap, sweeps, ln_state = lax.while_loop(
+        cond, body, st)
+    return MPS(A=A, lognorm=mps.lognorm + ln_state), overlap
 
 
 def compress_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
@@ -606,6 +617,10 @@ def compress_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     out, disc2 = canonize_right(out, compress=True, cap=Dmax, tol=tolS)
     disc = jnp.maximum(disc, disc2)
     out = slice_bond(out, Dmax)
+    # the variational polish replaces every tensor with projections of the
+    # implicit target (mps.A, W) and reconstructs the state norm from
+    # scratch, so it starts from the target's lognorm, not the zip-up's
+    out = out._replace(lognorm=mps.lognorm)
     out, overlap = variational_implicit(out, mps.A, W, conj=conj, tol=tolV,
                                         max_sweeps=max_sweeps)
     return out, overlap, disc
