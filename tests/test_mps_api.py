@@ -75,3 +75,27 @@ def test_describe():
     A = random_mps(rng, L=3, D=2, d=2, Dpad=4)
     s = bmps.describe(bmps.MPS(A=A, lognorm=jnp.zeros(())))
     assert "L=3" in s and "ranks" in s
+
+
+def test_init_mps_and_expectation_mpo():
+    from tnax.bmps import (init_mps, identity_mpo, expectation_mpo,
+                           mps_dot, mpo_from_block)
+    for initial in ("X", "Z", "randR"):
+        m = init_mps(4, 4, 2, jnp.float64, initial=initial, canonize="left")
+        # identity MPO expectation equals the norm
+        W = identity_mpo(4, 2, 2, jnp.float64)
+        e = float(expectation_mpo(m.A, W, m.A))
+        n = float(mps_dot(m.A, m.A))
+        assert e == pytest.approx(n, rel=1e-10)
+    blk = np.arange(16.0).reshape(4, 4)
+    t = mpo_from_block(jnp.asarray(blk), 2, 2)
+    assert t.shape == (2, 2, 2, 2)
+    assert float(t[1, 0, 1, 1]) == blk[2, 3]
+
+
+def test_init_mps_randC():
+    from tnax.bmps import init_mps, mps_dot
+    m = init_mps(3, 4, 2, jnp.float64, initial="randC", canonize="right")
+    n = mps_dot(np.conj(m.A), m.A)
+    assert abs(complex(n).imag) < 1e-10
+    assert complex(n).real > 0

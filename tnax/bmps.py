@@ -40,6 +40,82 @@ class MPS(NamedTuple):
     lognorm: jax.Array
 
 
+def init_mps(L: int, D: int, d: int, dtype, initial: str = "X",
+             canonize: str = "left", seed: int = 0,
+             valid_D: int = None) -> MPS:
+    """Initialize a padded MPS (reference `MPS.__init__`/`reset_mps`,
+    `tnac4o/mps.py:108-157`).
+
+    initial: 'X' (maximally mixed product), 'Z' (basis state 0),
+    'randR' (uniform real in [-1, 1]), 'randC' (complex — promotes dtype).
+    ``valid_D`` bounds the populated bond channels (default: D).
+    """
+    import numpy as np_
+    vD = min(valid_D or D, D)
+    # reference caps ragged bond dims by distance to the edges (_Dset)
+    dims = [min(d ** n, d ** (L - n), vD) for n in range(L + 1)]
+    rng = np_.random.default_rng(seed)
+    A = np_.zeros((L, D, d, D),
+                  dtype=np_.complex128 if initial == "randC" else np_.float64)
+    for n in range(L):
+        dl, dr = dims[n], dims[n + 1]
+        if initial == "X":
+            A[n, 0, :, 0] = 1.0 / np_.sqrt(d)
+        elif initial == "Z":
+            A[n, 0, 0, 0] = 1.0
+        elif initial == "randR":
+            A[n, :dl, :, :dr] = 2 * rng.random((dl, d, dr)) - 1
+        elif initial == "randC":
+            A[n, :dl, :, :dr] = (2 * rng.random((dl, d, dr)) - 1) \
+                + 1j * (2 * rng.random((dl, d, dr)) - 1)
+        else:
+            raise ValueError(f"unknown initial {initial!r}")
+    out = MPS(A=jnp.asarray(A, dtype if initial != "randC" else None),
+              lognorm=jnp.zeros((), jnp.float64 if initial == "randC"
+                                else dtype))
+    if canonize == "left":
+        out, _ = canonize_left(out)
+    elif canonize == "right":
+        out, _ = canonize_right(out)
+    return out
+
+
+def identity_mpo(L: int, lh: int, d: int, dtype) -> jax.Array:
+    """Stacked identity MPO (l, d, r, u legs; reference `_mpo_identity`,
+    `tnac4o/mps.py:873-877`)."""
+    W = jnp.zeros((L, lh, d, lh, d), dtype=dtype)
+    eye = jnp.eye(d, dtype=dtype)
+    return W.at[:, 0, :, 0, :].set(eye)
+
+
+def mpo_from_block(M: jax.Array, dout: int, din: int) -> jax.Array:
+    """Reshape a block matrix into one MPO tensor (l, out, r, in)
+    (reference `_block_matrix_to_mpo`, `tnac4o/mps.py:867-871`)."""
+    sout, sin = M.shape
+    return M.reshape(sout // dout, dout, sin // din, din)
+
+
+def expectation_mpo(bra_A: jax.Array, W: jax.Array,
+                    ket_A: jax.Array) -> jax.Array:
+    """<bra| W |ket> for a stacked MPO W (l, d_ket, r, d_bra... legs
+    (l, out, r, in): out contracts the bra, in the ket; reference
+    `setup_FL`/`_mps_FL`, `tnac4o/mps.py:488-494,671-676`)."""
+    Db = bra_A.shape[1]
+    Dk = ket_A.shape[1]
+    lh = W.shape[1]
+    F = jnp.zeros((Db, lh, Dk), dtype=ket_A.dtype).at[0, 0, 0].set(1.0)
+
+    def step(F, xs):
+        b, Wn, k = xs
+        T = jnp.einsum("blk,kdm->bldm", F, k)
+        T = jnp.einsum("bldm,lerd->berm", T, Wn)
+        F = jnp.einsum("berm,bec->crm", T, b)
+        return F, None
+
+    F, _ = lax.scan(step, F, (bra_A, W, ket_A))
+    return F[0, 0, 0]
+
+
 def trivial_mps(L: int, D: int, d: int, dtype) -> MPS:
     """Product state of ones on the valid (index-0) channels.
 
@@ -116,7 +192,10 @@ def _absorb_final_scalar(A, C, lognorm):
     c = C[0, 0]
     mag = jnp.abs(c)
     lognorm = lognorm + jnp.where(mag > 0, jnp.log2(jnp.where(mag > 0, mag, 1.0)), 0.0)
-    sign = jnp.where(c < 0, -1.0, 1.0).astype(A.dtype)
+    if jnp.iscomplexobj(A):
+        sign = jnp.where(mag > 0, c / jnp.where(mag > 0, mag, 1.0), 1.0)
+    else:
+        sign = jnp.where(c < 0, -1.0, 1.0).astype(A.dtype)
     return A, sign, lognorm
 
 
