@@ -79,8 +79,10 @@ def main():
         E = float(tnax.energy_Jij(J, ins.binary_states())[0])
         return dt, E
 
+    from tnax.profiling import trace
     cold, E1 = once()
-    warm, E = once()
+    with trace(os.environ.get("TNAX_PROFILE")):
+        warm, E = once()
     ok = abs(E - REF_ENERGY[L]) < 1e-4
     # marginal evaluations per second (the north-star throughput metric):
     # every site of the lattice evaluates M x N_block conditional weights
