@@ -75,3 +75,25 @@ def test_entry_compiles():
     Pn = np.asarray(Pn)
     assert Pn.shape == (1024, 256)
     assert np.allclose(Pn.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_device_sample_distribution():
+    rng = np.random.default_rng(12)
+    J = make_chimera_like(rng, 2, 1, 2)
+    ins = tnax.Solver(mode="Ising", Nx=2, Ny=1, Nc=2, beta=1, J=J)
+    ctx = ContractionContext(ins.problem, 1.0)
+    res = parallel.device_sample(ctx, M=4000, Dmax=8, seed=3)
+    # exact energies recomputed on host must match energy_Jij through decode
+    ins.states = res["states"][:, ins.order]
+    E2 = tnax.energy_Jij(J, ins.binary_states())
+    assert np.allclose(res["energy"], E2, atol=1e-9)
+    _, Eall = brute_force_min(J, 4)
+    p = np.exp(-(Eall - Eall.min()))
+    p /= p.sum()
+    vals, counts = np.unique(np.round(res["energy"], 9), return_counts=True)
+    emp = dict(zip(vals, counts / 4000))
+    theo = {}
+    for e, pi in zip(np.round(Eall, 9), p):
+        theo[e] = theo.get(e, 0.0) + pi
+    for v, f in emp.items():
+        assert abs(f - theo[v]) < 0.05

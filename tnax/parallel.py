@@ -301,6 +301,93 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                 negative_probability=min(globalmin, 0.0))
 
 
+def exact_energies(ctx, states):
+    """Exact float64 energies of block-state configurations, replayed on the
+    host from the raw energy tables (states in the current rotation's snake
+    order, shape (M, Ny*Nx))."""
+    states = np.asarray(states)
+    Ny, Nx = ctx.Ny, ctx.Nx
+    Eng = np.zeros(states.shape[0])
+    for ny in range(Ny):
+        for nx in range(Nx):
+            s = states[:, ny * Nx + nx]
+            Es, Esl, Esu = ctx.energy_tables(ny, nx)
+            lidx = ctx.rmap[ny, nx - 1][states[:, ny * Nx + nx - 1]] \
+                if nx > 0 else np.zeros(len(s), np.int32)
+            uidx = ctx.dmap[ny - 1, nx][states[:, (ny - 1) * Nx + nx]] \
+                if ny > 0 else np.zeros(len(s), np.int32)
+            Eng += Es[s] + Esl[s, lidx] + Esu[s, uidx]
+    return Eng
+
+
+def sample_rows(beam, row, key, *, M, Nx):
+    """One lattice row of device-resident Gibbs sampling (reference
+    `gibbs_sampling`, `tnac4o/tnac4o.py:553-650`): per-site conditional
+    marginals for all M walkers, categorical draws via `jax.random`, as one
+    jitted `lax.scan`. Walkers never reorder, so row-start right
+    environments apply directly."""
+    def site(carry, xs):
+        RL, vind, states, key = carry
+        (nx, lB, drindex, AT, dmap, rmap, nvalid, col) = xs
+        RRsel = row["RRs"][nx]
+        Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel,
+                                       vind[:, nx], vind[:, nx + 1], nvalid)
+        cums = jnp.cumsum(Pn, axis=1)
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub, (M,), dtype=Pn.dtype)
+        indc = jnp.clip(jnp.sum(cums < r[:, None], axis=1), 0,
+                        nvalid - 1).astype(jnp.int32)
+        rows_ = jnp.arange(M)
+        states = states.at[rows_, col].set(indc)
+        vind = vind.at[rows_, nx].set(dmap[indc])
+        vind = vind.at[rows_, nx + 1].set(rmap[indc])
+        RL = engine.rl_update(RL, AT, vind[:, nx])
+        return (RL, vind, states, key), jnp.min(mPn)
+
+    xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
+          row["AT"], row["dmap"], row["rmap"], row["nvalid"], row["cols"])
+    carry = (beam["RL"], beam["vind"], beam["states"], key)
+    (RL, vind, states, key), mPns = lax.scan(site, carry, xs)
+    vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
+                           axis=1)
+    return dict(RL=RL, vind=vind, states=states), key, jnp.min(mPns)
+
+
+def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
+                  max_sweeps=20, graduate_truncation=True, seed=0):
+    """Fully device-resident Gibbs sampling (throughput mode).
+
+    Returns dict(states, energy (exact f64, host-replayed),
+    negative_probability)."""
+    if ctx.rhoT is None or ctx.Dmax != Dmax:
+        ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    Ny, Nx = ctx.Ny, ctx.Nx
+    dtype, D = ctx.dtype, ctx.Dmax
+    step = jax.jit(partial(sample_rows, M=M, Nx=Nx))
+    key = jax.random.PRNGKey(seed)
+    beam = dict(RL=jnp.zeros((M, D), dtype).at[:, 0].set(1.0),
+                vind=jnp.zeros((M, Nx + 1), jnp.int32),
+                states=jnp.zeros((M, Nx * Ny), jnp.int32))
+    cols = (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+            + jnp.arange(Nx, dtype=jnp.int32)[None, :])
+    nvalid = jnp.asarray(ctx.nstates, jnp.int32)
+    globalmin = 1.0
+    for ny in range(Ny):
+        beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
+        RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
+                                    beam["vind"][:, 1:])
+        row = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny],
+                   AT=ctx.rhoT[ny + 1], RRs=RRs,
+                   dmap=jnp.asarray(ctx.dmap[ny]),
+                   rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
+                   cols=cols[ny])
+        beam, key, mq = step(beam, row, key)
+        globalmin = min(globalmin, float(mq))
+    states = np.asarray(beam["states"])
+    return dict(states=states, energy=exact_energies(ctx, states),
+                negative_probability=min(globalmin, 0.0))
+
+
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                     graduate_truncation=True, mesh=None):
