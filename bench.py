@@ -27,10 +27,7 @@ import os
 import sys
 import time
 
-import numpy as np
-
 import tnax
-from tnax.search import ContractionContext
 from tnax import parallel
 
 SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),

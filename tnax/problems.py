@@ -29,7 +29,6 @@ reference `tnac4o/tnac4o.py:1461-1504`):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 import scipy.sparse

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import engine
-from .search import ContractionContext, _pad1
+from .search import ContractionContext
 
 logger = logging.getLogger("tnax")
 

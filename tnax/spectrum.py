@@ -25,7 +25,6 @@ nature and stays in Python/NumPy.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 
