@@ -276,7 +276,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         valid=jnp.zeros((M,), bool).at[0].set(True),
         aidx=jnp.arange(M, dtype=jnp.int32),
     )
-    globalmin = 0.0
+    mqs = []
     for ny in range(Ny):
         beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
         beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
@@ -288,7 +288,8 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                    rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
                    cols=cols[ny])
         beam, mq = step(beam, row)
-        globalmin = min(globalmin, float(mq))
+        mqs.append(mq)  # no host sync inside the row loop
+    globalmin = min(0.0, float(jnp.min(jnp.stack(mqs))))
 
     valid = np.asarray(beam["valid"])
     Eng = np.asarray(beam["Eng"], dtype=np.float64)[valid]
@@ -371,7 +372,7 @@ def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
     cols = (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
             + jnp.arange(Nx, dtype=jnp.int32)[None, :])
     nvalid = jnp.asarray(ctx.nstates, jnp.int32)
-    globalmin = 1.0
+    mqs = []
     for ny in range(Ny):
         beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
         RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
@@ -382,10 +383,10 @@ def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
                    rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
                    cols=cols[ny])
         beam, key, mq = step(beam, row, key)
-        globalmin = min(globalmin, float(mq))
+        mqs.append(mq)  # no host sync inside the row loop
     states = np.asarray(beam["states"])
     return dict(states=states, energy=exact_energies(ctx, states),
-                negative_probability=min(globalmin, 0.0))
+                negative_probability=min(0.0, float(jnp.min(jnp.stack(mqs)))))
 
 
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
@@ -457,7 +458,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     )
     if shard is not None:
         beam = {k: jax.device_put(v, shard) for k, v in beam.items()}
-    globalmin = np.zeros(B)
+    mqs = []
     for ny in range(Ny):
         beam["aidx"] = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[None], (B, M))
@@ -470,8 +471,10 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                    rmap=jnp.stack([jnp.asarray(c.rmap[ny]) for c in ctxs]),
                    nvalid=nvalid[:, ny], cols=cols[:, ny])
         beam, mq = stepB(beam, row)
-        globalmin = np.minimum(globalmin, np.asarray(mq, dtype=np.float64))
+        mqs.append(mq)  # no host sync inside the row loop
 
+    globalmin = np.minimum(np.asarray(jnp.min(jnp.stack(mqs), axis=0),
+                                      dtype=np.float64), 0.0)
     out = []
     valid = np.asarray(beam["valid"])
     Eng = np.asarray(beam["Eng"], dtype=np.float64)
@@ -483,7 +486,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         best = int(np.argmin(np.where(v, Eng[b], np.inf)))
         out.append(dict(energy=Eng[b, best], states=states[b, best],
                         prob=prob[b, best], degeneracy=int(deg[b, best]),
-                        negative_probability=min(float(globalmin[b]), 0.0)))
+                        negative_probability=float(globalmin[b])))
     return out
 
 
