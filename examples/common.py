@@ -1,6 +1,9 @@
 """Shared helpers for the example scripts (instance paths, loading)."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import tnax
 

@@ -5,6 +5,11 @@ import argparse
 import logging
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import tnax
 from common import CHIMERA_SHAPES, load_droplet_instance
 

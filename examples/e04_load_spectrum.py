@@ -6,6 +6,11 @@ import logging
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import tnax
 from common import load_droplet_instance
 
