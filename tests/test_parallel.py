@@ -97,3 +97,17 @@ def test_device_sample_distribution():
         theo[e] = theo.get(e, 0.0) + pi
     for v, f in emp.items():
         assert abs(f - theo[v]) < 0.05
+
+
+def test_solver_device_paths():
+    rng = np.random.default_rng(21)
+    J = make_chimera_like(rng, 2, 2, 2)
+    ins = tnax.Solver(mode="Ising", Nx=2, Ny=2, Nc=2, beta=2, J=J)
+    E_host = ins.search_ground_state(M=64, relative_P_cutoff=1e-12, Dmax=8)[0]
+    E_dev = ins.search_ground_state(M=64, relative_P_cutoff=1e-12, Dmax=8,
+                                    path="device")[0]
+    assert E_dev == pytest.approx(E_host, abs=1e-9)
+    assert np.allclose(tnax.energy_Jij(J, ins.binary_states())[0], E_dev)
+    E = ins.gibbs_sampling(M=16, Dmax=8, path="device", seed=5)
+    assert len(E) == 16
+    assert np.allclose(E, tnax.energy_Jij(J, ins.binary_states()), atol=1e-9)

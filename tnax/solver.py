@@ -144,10 +144,32 @@ class Solver:
 
     def search_ground_state(self, M=2 ** 10, relative_P_cutoff=1e-6,
                             min_dEng=1e-12, graduate_truncation=True,
-                            Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20):
+                            Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
+                            path="host"):
         """Branch-and-bound most-probable-state search (reference
-        `tnac4o/tnac4o.py:381-551`). Returns the lowest energy found."""
+        `tnac4o/tnac4o.py:381-551`). Returns the lowest energy found.
+
+        path='host' (default) keeps the reference's exact float64 beam
+        bookkeeping; path='device' runs the fully device-resident
+        throughput search (`tnax.parallel.device_search_gs`) — the reported
+        energy is recomputed exactly on the host, but degeneracy counting
+        ties break at the compute dtype's precision (f32 on TPU)."""
         ctx = self._context()
+        if path == "device":
+            from . import parallel as _par
+            r = _par.device_search_gs(
+                ctx, M=M, relative_P_cutoff=relative_P_cutoff,
+                min_dEng=min_dEng, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                max_sweeps=max_sweeps,
+                graduate_truncation=graduate_truncation)
+            states = r["states"][None, :]
+            self.energy = _par.exact_energies(ctx, states)
+            self.probability = np.array([r["prob"]])
+            self.degeneracy = r["degeneracy"]
+            self.states = states[:, self.order]
+            self.discarded_probability = 0.0
+            self.negative_probability = r["negative_probability"]
+            return self.energy
         res = _search.search_ground_state(
             ctx, M=M, relative_P_cutoff=relative_P_cutoff, min_dEng=min_dEng,
             Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
@@ -161,15 +183,30 @@ class Solver:
         return self.energy
 
     def gibbs_sampling(self, M=2 ** 10, graduate_truncation=True, Dmax=32,
-                       tolS=1e-15, tolV=1e-10, max_sweeps=20, seed=None):
+                       tolS=1e-15, tolV=1e-10, max_sweeps=20, seed=None,
+                       path="host"):
         """Sample M configurations from the Gibbs distribution (reference
         `tnac4o/tnac4o.py:553-650`). Returns sampled energies.
 
         ``seed`` (new vs the reference, which uses the global NumPy RNG)
-        makes sampling reproducible."""
+        makes sampling reproducible. path='device' draws on-device with
+        `jax.random` (throughput mode; energies still exact float64)."""
         from . import sample as _sample
         import numpy as _np
         ctx = self._context()
+        if path == "device":
+            from . import parallel as _par
+            r = _par.device_sample(ctx, M=M, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                   max_sweeps=max_sweeps,
+                                   graduate_truncation=graduate_truncation,
+                                   seed=seed or 0)
+            self.energy = r["energy"]
+            self.probability = _np.zeros(1)
+            self.degeneracy = 0
+            self.states = r["states"][:, self.order]
+            self.discarded_probability = 0
+            self.negative_probability = r["negative_probability"]
+            return self.energy
         res = _sample.gibbs_sampling(
             ctx, M=M, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
             graduate_truncation=graduate_truncation,
