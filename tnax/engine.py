@@ -330,6 +330,32 @@ def marginal_step(lB, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
     return Pn, mPn
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
+    """Device-side candidate expansion for the host-orchestrated search.
+
+    Computes probf = prob[:, None] + log2(Pn) flattened, the number of
+    candidates above the relative cutoff, and the top-``cap`` candidates.
+    The host pulls only (cap,) values/indices instead of the full (M, Np)
+    marginal table — a 16-30x smaller transfer — and falls back to pulling
+    Pn when count > cap (exactness preserved; reference semantics
+    `tnac4o/tnac4o.py:456-465`).
+
+    Returns (vals, idx, count_above, pmax, minP) where idx indexes the
+    flattened (M*Np) expansion.
+    """
+    M, Np = Pn.shape
+    neg = jnp.asarray(-1e30, Pn.dtype)
+    logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), neg)
+    probf = jnp.where(valid[:, None], prob[:, None] + logP, neg)
+    probf = probf.reshape(M * Np)
+    pmax = jnp.max(probf)
+    count = jnp.sum(probf > pmax + log2_cutoff)
+    vals, idx = lax.top_k(probf, min(cap, M * Np))
+    minP = jnp.min(jnp.where(valid, mPn, 0.0))
+    return vals, idx, count, pmax, minP
+
+
 @jax.jit
 def rl_update(RL, AT, didx):
     """Absorb the active site into each branch's left environment.

@@ -95,6 +95,50 @@ def _pad1(x, M, fill=0):
     return out
 
 
+CAND_CAP = 8192  # device->host candidate transfer cap (see expand_candidates)
+
+
+def expand_candidates(Pn_d, mPn_d, prob, K, n, Np, M, relative_P_cutoff,
+                      pd_max):
+    """Expand branch x block-state candidates and apply the relative cutoff.
+
+    Fast path: `engine.expand_topk` computes the expansion and top-CAND_CAP
+    candidates on device, so only ~CAND_CAP values/indices cross to the host
+    instead of the full (M, Np) marginal table (a 16-30x smaller transfer —
+    the dominant per-site cost on accelerators behind an IO tunnel). Falls
+    back to pulling the full table when more than CAND_CAP candidates
+    survive the cutoff, preserving the reference's exact semantics
+    (`tnac4o/tnac4o.py:456-465`).
+
+    Returns (inds, indc, probf, pd_max, minP).
+    """
+    kk = min(CAND_CAP, Pn_d.shape[0] * Np)
+    if relative_P_cutoff > 0 and kk > 1:
+        valid = np.zeros(Pn_d.shape[0], dtype=bool)
+        valid[:K] = True
+        vals_d, idx_d, count_d, _, minP_d = engine.expand_topk(
+            Pn_d, mPn_d, jnp.asarray(_pad1(prob, Pn_d.shape[0], fill=-1e30)),
+            jnp.asarray(valid), float(np.log2(relative_P_cutoff)),
+            cap=CAND_CAP)
+        count = int(count_d)
+        if count < kk:
+            keep = max(count, 1)
+            vals = np.asarray(vals_d, dtype=np.float64)
+            idx = np.asarray(idx_d)
+            if keep < K * n:
+                pd_max = max(pd_max, vals[keep])
+            inds = idx[:keep] // Np
+            indc = (idx[:keep] % Np).astype(np.int32)
+            return inds, indc, vals[:keep], pd_max, float(minP_d)
+    # exact fallback: full marginal table on the host
+    Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
+    minP = float(np.min(np.asarray(mPn_d[:K])))
+    with np.errstate(divide="ignore"):
+        probf = (np.log2(Pn) + prob[:, None]).ravel()
+    order, probf, pd_max = cutoff_select(probf, relative_P_cutoff, pd_max)
+    return order // n, (order % n).astype(np.int32), probf, pd_max, minP
+
+
 def cutoff_select(probf, relative_P_cutoff, pd_max):
     """Relative-probability cutoff (reference `tnac4o/tnac4o.py:456-465`).
 
@@ -206,15 +250,10 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
                 jnp.asarray(_pad1(vind[:, nx], M)),
                 jnp.asarray(_pad1(vind[:, nx + 1], M)),
                 nvalid=n)
-            Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
-            globalmin = min(globalmin, float(np.min(np.asarray(mPn_d[:K]))))
-
-            with np.errstate(divide="ignore"):
-                probf = (np.log2(Pn) + prob[:, None]).ravel()
-
-            order, probf, pd_max = cutoff_select(probf, relative_P_cutoff,
-                                                 pd_max)
-            inds, indc = order // n, (order % n).astype(np.int32)
+            inds, indc, probf, pd_max, minP = expand_candidates(
+                Pn_d, mPn_d, prob, K, n, ctx.Np, M, relative_P_cutoff,
+                pd_max)
+            globalmin = min(globalmin, minP)
             states = states[inds]
             states[:, ny * Nx + nx] = indc
             vind = vind[inds]

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 
 from . import engine
 from .problems import block_bits
-from .search import (ContractionContext, _pad1, cutoff_select, top_m,
-                     merge_by_vind, SearchResult)
+from .search import (ContractionContext, _pad1, expand_candidates,
+                     top_m, merge_by_vind, SearchResult)
 
 logger = logging.getLogger("tnax")
 
@@ -439,15 +439,10 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
                 RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
                 jnp.asarray(_pad1(vind[:, nx], M)),
                 jnp.asarray(_pad1(vind[:, nx + 1], M)), nvalid=n)
-            Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
-            globalmin = min(globalmin, float(np.min(np.asarray(mPn_d[:K]))))
-
-            with np.errstate(divide="ignore"):
-                probf = (np.log2(Pn) + prob[:, None]).ravel()
-
-            order, probf, pd_max = cutoff_select(probf, relative_P_cutoff,
-                                                 pd_max)
-            inds, indc = order // n, (order % n).astype(np.int32)
+            inds, indc, probf, pd_max, minP = expand_candidates(
+                Pn_d, mPn_d, prob, K, n, ctx.Np, M, relative_P_cutoff,
+                pd_max)
+            globalmin = min(globalmin, minP)
             states = states[inds]
             states[:, ny * Nx + nx] = indc
             vind = vind[inds]
