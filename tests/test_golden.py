@@ -106,3 +106,19 @@ def test_e03_e04_save_load_roundtrip(tmp_path):
     assert len(ins2.energy) == len(ins.energy)
     assert np.allclose(ins2.energy, ins.energy)
     assert np.array_equal(ins2.binary_states(), ins.binary_states())
+
+
+def test_minus_Jij_max_energy_oracle():
+    """minus_Jij flips the problem: the GS of -J is the max-energy state,
+    shipped per instance in max_energy_otn2d.txt (SURVEY.md section 6)."""
+    path = os.path.join(
+        INST, "Chimera_droplet_instances/chimera128_spinglass_power/"
+              "max_energy_otn2d.txt")
+    with open(path) as f:
+        expected = float(f.readline().split()[2])
+    J = chimera128()
+    ins = tnax.Solver(mode="Ising", Nx=4, Ny=4, Nc=8,
+                      J=tnax.minus_Jij(J), beta=3)
+    ins.precondition(mode="balancing")
+    Eng = ins.search_ground_state(M=1024, relative_P_cutoff=1e-8, Dmax=8)
+    assert abs(-Eng[0] - expected) < 1e-4

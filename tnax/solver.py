@@ -99,6 +99,10 @@ class Solver:
 
     # -- contraction context ------------------------------------------------
     def _context(self):
+        if self.problem is None:
+            raise ValueError(
+                "no couplings: construct the solver with J=... before "
+                "searching/sampling (reference tnac4o.py:174)")
         ctx = _search.ContractionContext(self.problem, self.beta,
                                          gauges=self._gauges)
         self._gauges = ctx.gauges
