@@ -341,8 +341,8 @@ def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
     Pn when count > cap (exactness preserved; reference semantics
     `tnac4o/tnac4o.py:456-465`).
 
-    Returns (vals, idx, count_above, pmax, minP) where idx indexes the
-    flattened (M*Np) expansion.
+    Returns one packed float32 array [vals(cap), idx-bits(cap), count,
+    minP] where idx indexes the flattened (M*Np) expansion.
     """
     M, Np = Pn.shape
     neg = jnp.asarray(-1e30, Pn.dtype)
@@ -353,7 +353,15 @@ def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
     count = jnp.sum(probf > pmax + log2_cutoff)
     vals, idx = lax.top_k(probf, min(cap, M * Np))
     minP = jnp.min(jnp.where(valid, mPn, 0.0))
-    return vals, idx, count, pmax, minP
+    # pack everything into ONE array: each host pull costs a full round
+    # trip over the accelerator IO link (~50 ms fixed on tunneled setups)
+    packed = jnp.concatenate([
+        vals.astype(jnp.float32),
+        lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32),
+        jnp.stack([count.astype(jnp.float32),
+                   minP.astype(jnp.float32)]),
+    ])
+    return packed
 
 
 @jax.jit

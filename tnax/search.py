@@ -113,23 +113,26 @@ def expand_candidates(Pn_d, mPn_d, prob, K, n, Np, M, relative_P_cutoff,
     Returns (inds, indc, probf, pd_max, minP).
     """
     kk = min(CAND_CAP, Pn_d.shape[0] * Np)
-    if relative_P_cutoff > 0 and kk > 1:
+    # the packed path trades probf precision down to f32 — exactly what the
+    # f32 accelerator path computes anyway; on f64 (CPU) transfers are local
+    # and free, so keep the reference's full-precision host expansion there
+    if relative_P_cutoff > 0 and kk > 1 and Pn_d.dtype == jnp.float32:
         valid = np.zeros(Pn_d.shape[0], dtype=bool)
         valid[:K] = True
-        vals_d, idx_d, count_d, _, minP_d = engine.expand_topk(
+        packed = np.asarray(engine.expand_topk(
             Pn_d, mPn_d, jnp.asarray(_pad1(prob, Pn_d.shape[0], fill=-1e30)),
             jnp.asarray(valid), float(np.log2(relative_P_cutoff)),
-            cap=CAND_CAP)
-        count = int(count_d)
+            cap=CAND_CAP))  # one device->host round trip
+        vals = packed[:kk].astype(np.float64)
+        idx = packed[kk:2 * kk].view(np.int32)
+        count, minP = int(packed[2 * kk]), float(packed[2 * kk + 1])
         if count < kk:
             keep = max(count, 1)
-            vals = np.asarray(vals_d, dtype=np.float64)
-            idx = np.asarray(idx_d)
             if keep < K * n:
                 pd_max = max(pd_max, vals[keep])
             inds = idx[:keep] // Np
             indc = (idx[:keep] % Np).astype(np.int32)
-            return inds, indc, vals[:keep], pd_max, float(minP_d)
+            return inds, indc, vals[:keep], pd_max, minP
     # exact fallback: full marginal table on the host
     Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
     minP = float(np.min(np.asarray(mPn_d[:K])))
