@@ -149,3 +149,22 @@ def test_rmf_gs_brute_force():
     best = min(energy_RMF(J, np.array([c]))[0]
                for c in itertools.product(range(q), repeat=Nx * Ny))
     assert Eng[0] == pytest.approx(best, abs=1e-9)
+
+
+def test_checkpoint_resume(tmp_path):
+    from tnax.search import ContractionContext, search_ground_state
+    rng = np.random.default_rng(8)
+    J = make_chimera_like(rng, 3, 3, 2)
+    ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=2, beta=2, J=J)
+    ctx = ContractionContext(ins.problem, 2.0)
+    full = search_ground_state(ctx, M=64, relative_P_cutoff=1e-12, Dmax=8)
+    ck = str(tmp_path / "ck.npz")
+    ctx2 = ContractionContext(ins.problem, 2.0)
+    search_ground_state(ctx2, M=64, relative_P_cutoff=1e-12, Dmax=8,
+                        checkpoint_path=ck, _stop_after_rows=2)
+    ctx3 = ContractionContext(ins.problem, 2.0)
+    res = search_ground_state(ctx3, M=64, relative_P_cutoff=1e-12, Dmax=8,
+                              checkpoint_path=ck, resume=True)
+    assert res.energy[0] == pytest.approx(full.energy[0], abs=1e-12)
+    assert res.degeneracy == full.degeneracy
+    assert np.array_equal(res.states, full.states)

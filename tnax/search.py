@@ -216,9 +216,18 @@ class SearchResult:
 def search_ground_state(ctx: ContractionContext, M=2 ** 10,
                         relative_P_cutoff=1e-6, min_dEng=1e-12,
                         Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                        graduate_truncation=True) -> SearchResult:
+                        graduate_truncation=True, checkpoint_path=None,
+                        resume=False, _stop_after_rows=None) -> SearchResult:
     """Most-probable-state search (reference `search_ground_state`,
-    `tnac4o/tnac4o.py:381-551`)."""
+    `tnac4o/tnac4o.py:381-551`).
+
+    ``checkpoint_path`` snapshots the complete beam state after every
+    lattice row; ``resume=True`` continues an interrupted search from such
+    a snapshot (the caller must reconstruct the same problem/beta/gauges —
+    the boundary MPS is rebuilt deterministically). Mid-search
+    checkpointing goes beyond the reference, which only persists final
+    results (SURVEY.md section 5.4).
+    """
     t_total = time.time()
     logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
     ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
@@ -231,11 +240,19 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
     prob = np.zeros(1)
     deg = np.ones(1, dtype=np.int64)
     pd_max, globalmin = -np.inf, 0.0
+    ny_start = 0
+    if resume and checkpoint_path:
+        ck = np.load(checkpoint_path)
+        ny_start = int(ck["ny"])
+        vind, states = ck["vind"], ck["states"]
+        Eng, prob, deg = ck["Eng"], ck["prob"], ck["deg"]
+        pd_max, globalmin = float(ck["pd_max"]), float(ck["globalmin"])
+        logger.info("Resuming from row %d (%s)", ny_start, checkpoint_path)
 
     D = ctx.Dmax
     dtype = ctx.dtype
 
-    for ny in range(Ny):
+    for ny in range(ny_start, Ny):
         t_row = time.time()
         K = len(prob)
         uidx_row = _pad1(vind[:, 1:], M)
@@ -292,6 +309,12 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
                     time.time() - t_row)
         vind[:, 1:] = vind[:, :-1]
         vind[:, 0] = 0
+        if checkpoint_path:
+            np.savez(checkpoint_path, ny=ny + 1, vind=vind, states=states,
+                     Eng=Eng, prob=prob, deg=deg, pd_max=pd_max,
+                     globalmin=globalmin)
+        if _stop_after_rows is not None and ny + 1 >= _stop_after_rows:
+            break
 
     logger.info("Search total: %.2f s", time.time() - t_total)
     return SearchResult(
