@@ -95,7 +95,8 @@ def _pad1(x, M, fill=0):
     return out
 
 
-CAND_CAP = 8192  # device->host candidate transfer cap (see expand_candidates)
+CAND_CAP = 32768  # device->host candidate cap: one pull costs ~50ms fixed
+# regardless of size up to ~8MB, so a larger cap only helps (fewer fallbacks)
 
 
 def expand_candidates(Pn_d, mPn_d, prob, K, n, Np, M, relative_P_cutoff,
