@@ -330,6 +330,23 @@ def marginal_step(lB, drindex, AT, RL, RRsel, lidx, uidx, nvalid):
     return Pn, mPn
 
 
+@jax.jit
+def marginal_site(lB, drindex, AT, RL, RRs_nx, idx3, nvalid):
+    """marginal_step with per-branch indices packed into one (3, M) array
+    (aidx into RRs_nx, lidx, uidx) — a single host->device transfer per
+    site; each transfer over a tunneled accelerator link costs ~50 ms
+    regardless of size."""
+    RRsel = RRs_nx[idx3[0]]
+    return marginal_step(lB, drindex, AT, RL, RRsel, idx3[1], idx3[2],
+                         nvalid)
+
+
+@jax.jit
+def rl_update_sel(RL, AT, idx2):
+    """rl_update with (parent-selection, down-index) packed as (2, M)."""
+    return rl_update(RL[idx2[0]], AT, idx2[1])
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
     """Device-side candidate expansion for the host-orchestrated search.

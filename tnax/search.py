@@ -265,12 +265,12 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
 
         for nx in range(Nx):
             n = int(ctx.nstates[ny, nx])
-            Pn_d, mPn_d = engine.marginal_step(
+            idx3 = jnp.asarray(np.stack([_pad1(aidx, M),
+                                         _pad1(vind[:, nx], M),
+                                         _pad1(vind[:, nx + 1], M)]))
+            Pn_d, mPn_d = engine.marginal_site(
                 ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
-                RL, RRs[nx][jnp.asarray(_pad1(aidx, M))],
-                jnp.asarray(_pad1(vind[:, nx], M)),
-                jnp.asarray(_pad1(vind[:, nx + 1], M)),
-                nvalid=n)
+                RL, RRs[nx], idx3, n)
             inds, indc, probf, pd_max, minP = expand_candidates(
                 Pn_d, mPn_d, prob, K, n, ctx.Np, M, relative_P_cutoff,
                 pd_max)
@@ -302,9 +302,10 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
             aidx = aidx[rk]
             K = len(prob)
 
-            RL = engine.rl_update(
-                RL[jnp.asarray(_pad1(parent, M))], AT_row[nx],
-                jnp.asarray(_pad1(vind[:, nx], M)))
+            RL = engine.rl_update_sel(
+                RL, AT_row[nx],
+                jnp.asarray(np.stack([_pad1(parent, M),
+                                      _pad1(vind[:, nx], M)])))
 
         logger.info("Row %d/%d: %d branches, %.2f s", ny + 1, Ny, K,
                     time.time() - t_row)
