@@ -219,6 +219,37 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
     return out, jnp.min(mPns)
 
 
+@partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
+                                   "log2_cutoff"))
+def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
+                     log2_cutoff):
+    """The ENTIRE ground-state search as one jitted program: lax.scan over
+    lattice rows, each row computing its right environments and running
+    :func:`row_step`'s site scan. One device dispatch per search.
+
+    grid_in: dict of (Ny, ...) stacked per-row arrays (lB, drindex, Es,
+    Esl, Esu, dmap, rmap, nvalid, cols). rhoT (Ny+1, Nx, D, lv, D),
+    Wt (Ny, Nx, lh, lv, lh, lv).
+    """
+    D = rhoT.shape[2]
+    dtype = rhoT.dtype
+
+    def one_row(beam, xs):
+        AT_row, Wt_row, row_tabs = xs
+        beam = dict(beam)
+        beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
+        beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
+        RRs = engine.row_right_envs(AT_row, Wt_row,
+                                    beam["vind"][:, 1:])
+        row = dict(row_tabs, AT=AT_row, RRs=RRs)
+        beam, mq = row_step(beam, row, M=M, Nx=Nx, bits=bits,
+                            min_dEng=min_dEng, log2_cutoff=log2_cutoff)
+        return beam, mq
+
+    beam, mqs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
+    return beam, jnp.min(mqs)
+
+
 def _padded_energy_rows(ctx):
     """Raw (unshifted) energy tables padded to grid shapes, as device arrays."""
     import jax.numpy as jnp_
@@ -240,7 +271,7 @@ def _padded_energy_rows(ctx):
 
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                     graduate_truncation=True):
+                     graduate_truncation=True, fused=True):
     """Fully device-resident ground-state search (throughput mode).
 
     Single-chip driver around :func:`row_step`: the beam never leaves the
@@ -276,20 +307,30 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         valid=jnp.zeros((M,), bool).at[0].set(True),
         aidx=jnp.arange(M, dtype=jnp.int32),
     )
-    mqs = []
-    for ny in range(Ny):
-        beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
-        beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
-        RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
-                                    beam["vind"][:, 1:])
-        row = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny],
-                   AT=ctx.rhoT[ny + 1], RRs=RRs, Es=EsP[ny], Esl=EslP[ny],
-                   Esu=EsuP[ny], dmap=jnp.asarray(ctx.dmap[ny]),
-                   rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
-                   cols=cols[ny])
-        beam, mq = step(beam, row)
-        mqs.append(mq)  # no host sync inside the row loop
-    globalmin = min(0.0, float(jnp.min(jnp.stack(mqs))))
+    if fused:
+        grid_in = dict(lB=ctx.lB, drindex=ctx.drindex, Es=EsP, Esl=EslP,
+                       Esu=EsuP, dmap=jnp.asarray(ctx.dmap),
+                       rmap=jnp.asarray(ctx.rmap), nvalid=nvalid, cols=cols)
+        beam, mq = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt, M=M,
+                                    Nx=Nx, bits=bits, min_dEng=min_dEng,
+                                    log2_cutoff=log2_cutoff)
+        globalmin = min(0.0, float(mq))
+    else:
+        mqs = []
+        for ny in range(Ny):
+            beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
+            beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
+            RRs = engine.row_right_envs(ctx.rhoT[ny + 1], ctx.Wt[ny],
+                                        beam["vind"][:, 1:])
+            row = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny],
+                       AT=ctx.rhoT[ny + 1], RRs=RRs, Es=EsP[ny],
+                       Esl=EslP[ny], Esu=EsuP[ny],
+                       dmap=jnp.asarray(ctx.dmap[ny]),
+                       rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
+                       cols=cols[ny])
+            beam, mq = step(beam, row)
+            mqs.append(mq)  # no host sync inside the row loop
+        globalmin = min(0.0, float(jnp.min(jnp.stack(mqs))))
 
     valid = np.asarray(beam["valid"])
     Eng = np.asarray(beam["Eng"], dtype=np.float64)[valid]
