@@ -58,7 +58,7 @@ def j124_oracle(C):
     return out
 
 
-def run_droplet(L, n, D, M, path, precondition):
+def run_droplet(L, n, D, M, path, precondition, max_rot=4):
     Nx, Ny, Nc = SHAPES[L]
     oracle = droplet_oracle(L)
     results = []
@@ -66,24 +66,36 @@ def run_droplet(L, n, D, M, path, precondition):
         f = os.path.join(INST, "Chimera_droplet_instances",
                          f"chimera{L}_spinglass_power", "%03d.txt" % ins_no)
         J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
-        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=3)
-        if precondition:
-            ins.precondition(mode="balancing")
         t0 = time.time()
-        if path == "device":
-            from tnax import parallel
-            from tnax.search import ContractionContext
-            ctx = ins._context()
-            r = parallel.device_search_gs(ctx, M=M, relative_P_cutoff=1e-8,
-                                          Dmax=D)
-            ins.states = r["states"][None, :][:, ins.order]
-            E = float(tnax.energy_Jij(J, ins.binary_states())[0])
-        else:
-            ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
-            E = float(ins.energy[0])
+        best, rot_used = np.inf, 0
+        # rotation protocol: attack the contraction from other edges when a
+        # direction misses (the reference's e06 pattern,
+        # examples/e06...py:97-105)
+        for rot in range(max_rot):
+            ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J,
+                              beta=3)
+            if rot:
+                ins.rotate_graph(rot=rot)
+            if precondition:
+                ins.precondition(mode="balancing")
+            if path == "device":
+                from tnax import parallel
+                ctx = ins._context()
+                r = parallel.device_search_gs(ctx, M=M,
+                                              relative_P_cutoff=1e-8,
+                                              Dmax=D)
+                ins.states = r["states"][None, :][:, ins.order]
+                E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+            else:
+                ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
+                E = float(ins.energy[0])
+            if E < best - 1e-9:
+                best, rot_used = E, rot
+            if abs(best - oracle[ins_no]) < 1e-4:
+                break
         dt = time.time() - t0
-        ok = abs(E - oracle[ins_no]) < 1e-4
-        results.append(dict(instance=ins_no, energy=E,
+        ok = abs(best - oracle[ins_no]) < 1e-4
+        results.append(dict(instance=ins_no, energy=best, rot=rot_used,
                             oracle=oracle[ins_no], ok=bool(ok),
                             seconds=round(dt, 2)))
         print(json.dumps(results[-1]), flush=True)

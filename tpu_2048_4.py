@@ -1,0 +1,23 @@
+import time
+import tnax, jax
+from tnax import parallel
+print('backend:', jax.default_backend(), flush=True)
+J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij('/root/reference/instances/Chimera_droplet_instances/chimera2048_spinglass_power/004.txt')), 1/75)
+best = 1e9
+for rot in range(4):
+    ins = tnax.Solver(mode='Ising', Nx=16, Ny=16, Nc=8, J=J, beta=3)
+    if rot: ins.rotate_graph(rot=rot)
+    ins.precondition(mode='balancing')
+    ctx = ins._context()
+    t0 = time.time()
+    r = parallel.device_search_gs(ctx, M=1024, relative_P_cutoff=1e-8, Dmax=32)
+    E = parallel.exact_energies(ctx, r['states'][None, :])[0]
+    print(f'device rot {rot}: E={E:.6f} {time.time()-t0:.1f}s', flush=True)
+    best = min(best, E)
+# host path rot0 as well
+ins = tnax.Solver(mode='Ising', Nx=16, Ny=16, Nc=8, J=J, beta=3)
+ins.precondition(mode='balancing')
+t0=time.time()
+E = ins.search_ground_state(M=1024, relative_P_cutoff=1e-8, Dmax=32)
+print(f'host rot 0: E={E[0]:.6f} {time.time()-t0:.1f}s', flush=True)
+print(f'best={min(best, E[0])} (oracle -3430.133333)', flush=True)
