@@ -1,0 +1,54 @@
+"""Device-record spectrum path vs. the host-orchestrated path.
+
+The device path (`tnax.spectrum.device_search_spectrum`) makes every beam
+decision on device and emits per-site decision records the host replays; on
+CPU/f64 the two paths must agree on the golden spectrum (31 states below
+dE=1 for chimera-128 instance 1; reference `examples/test_examples.py:59-104`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import tnax
+
+INST = "/root/reference/instances"
+CH128 = os.path.join(
+    INST, "Chimera_droplet_instances/chimera128_spinglass_power/001.txt")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(CH128),
+                                reason="reference instances not available")
+
+
+def _solve(path, ee, rot=0):
+    J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(CH128)), 1 / 75)
+    ins = tnax.Solver(mode="Ising", Nx=4, Ny=4, Nc=8, J=J, beta=3)
+    if rot:
+        ins.rotate_graph(rot=rot)
+    if ee > 1:
+        np.random.seed(7)
+        ins.add_noise(amplitude=1e-7)
+    ins.search_low_energy_spectrum(excitations_encoding=ee, M=1024,
+                                   relative_P_cutoff=1e-8, Dmax=16,
+                                   max_dEng=1.0, path=path)
+    ins.decode_low_energy_states(max_dEng=1.0)
+    return ins, J
+
+
+@pytest.mark.parametrize("ee,rot", [(1, 0), (2, 1), (3, 2)])
+def test_device_spectrum_golden(ee, rot):
+    ins, J = _solve("device", ee, rot)
+    assert len(ins.energy) == 31
+    assert abs(ins.energy[0] + 210.93333333) < 1e-5
+    err = np.max(np.abs(tnax.energy_Jij(J, ins.binary_states())
+                        - ins.energy))
+    assert err < 1e-4
+
+
+def test_device_matches_host_spectrum():
+    dev, _ = _solve("device", 1)
+    host, _ = _solve("host", 1)
+    assert len(dev.energy) == len(host.energy)
+    assert np.max(np.abs(np.sort(dev.energy) - np.sort(host.energy))) < 1e-9
+    assert dev.degeneracy == host.degeneracy

@@ -108,6 +108,57 @@ def merge_beam(vind, Eng, prob, deg, valid, min_dEng, bits):
     return prob_out, Eng_out, deg_out, parent, group_valid
 
 
+def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M):
+    """Merge C expanded candidates by ``vind`` and keep the top-M groups.
+
+    Unlike :func:`merge_beam` (which merges an already-truncated beam), this
+    operates on the full post-cutoff candidate set like the reference
+    (`tnac4o/tnac4o.py:481-526`: cutoff -> merge -> top-M), so losing merge
+    members beyond the beam width still produce droplet records.
+
+    Returns (slot, rep, prob_out, Eng_out, out_valid, disc):
+      slot (C,) i32   output slot [0, M) each candidate merged into, -1 if
+                      its group was dropped or the candidate is invalid,
+      rep (M,) i32    candidate index of each slot's representative,
+      prob_out/Eng_out/out_valid (M,)  the new beam payload,
+      disc            largest group log2-prob discarded by the top-M cut.
+    """
+    C = Eng.shape[0]
+    keys = pack_keys(vind, bits) + [jnp.where(valid, 0, 1).astype(jnp.int32)]
+    perm = jnp.lexsort(tuple(reversed(keys)))
+    vs, Es, ps, vls = vind[perm], Eng[perm], prob[perm], valid[perm]
+    neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
+    seg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(neq).astype(jnp.int32)])
+    big = jnp.asarray(jnp.finfo(Es.dtype).max, Es.dtype)
+    Emin = jax.ops.segment_min(jnp.where(vls, Es, big), seg, num_segments=C)
+    is_min = (Es == Emin[seg]) & vls
+    pos = jnp.arange(C, dtype=jnp.int32)
+    first_min = jax.ops.segment_min(jnp.where(is_min, pos, C), seg,
+                                    num_segments=C)
+    group_valid = first_min < C
+    rep_sorted = jnp.clip(first_min, 0, C - 1)
+    near = ((Es - Emin[seg]) <= min_dEng) & vls
+    n_near = jax.ops.segment_sum(near.astype(Es.dtype), seg, num_segments=C)
+    prob_mean = jax.ops.segment_sum(jnp.where(near, ps, 0.0), seg,
+                                    num_segments=C) / jnp.maximum(n_near, 1)
+    gprob = jnp.where(group_valid, prob_mean, NEG)
+
+    k = min(M + 1, C)
+    gvals, gidx = lax.top_k(gprob, k)
+    disc = jnp.where(k > M, gvals[min(M, k - 1)], NEG)
+    gvals, gidx = gvals[:M], gidx[:M]
+    out_valid = gvals > NEG / 2
+    rep = perm[rep_sorted[gidx]]
+    slot_of_seg = jnp.full((C,), -1, jnp.int32).at[gidx].set(
+        jnp.arange(M, dtype=jnp.int32))
+    slot_sorted = jnp.where(vls, slot_of_seg[seg], -1)
+    slot = jnp.full((C,), -1, jnp.int32).at[perm].set(slot_sorted)
+    Eng_out = jnp.where(out_valid, Emin[gidx], 0.0)
+    prob_out = jnp.where(out_valid, gvals, NEG)
+    return slot, rep, prob_out, Eng_out, out_valid, disc
+
+
 # ---------------------------------------------------------------------------
 # device-resident row step
 # ---------------------------------------------------------------------------
@@ -201,8 +252,11 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
                                          probm, degm, validm, aidx_m, didx))
 
         RL_new = engine.rl_update(RL_m, AT, didx)
+        # negativeness flag only from live branches — padded slots carry
+        # junk environments whose marginals would pollute the diagnostic
+        mq = jnp.min(jnp.where(valid, mPn, 0.0))
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
-                aidx_m), mPn
+                aidx_m), mq
 
     xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
           row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
@@ -248,6 +302,108 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
 
     beam, mqs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
     return beam, jnp.min(mqs)
+
+
+def _f32bits(x):
+    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("M", "C", "Nx", "bits", "min_dEng",
+                                   "log2_cutoff"))
+def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
+                     min_dEng, log2_cutoff):
+    """One lattice row of the search, emitting per-site decision records.
+
+    The device makes every beam decision (cutoff, candidate cap C, merge by
+    boundary-index vector, top-M) and returns, per site, a packed int32
+    record of WHAT it decided: each candidate's parent beam slot, chosen
+    block state, log2-probability and merge slot, plus each output slot's
+    representative, probability and validity. The host replays exact float64
+    energies, states, degeneracies and droplet trees from the records — one
+    device->host pull per row instead of three crossings per site (each
+    crossing costs ~50 ms over a tunneled accelerator link). This is the
+    spectrum-mode analogue of :func:`full_search_scan`.
+
+    Record layout per site (int32, width 4C + 3M + 4):
+      [src(C) | indc(C) | slot(C) | rep(M) | prob-bits(C) |
+       out_prob-bits(M) | out_valid(M) | count, disc_cut, disc_m, minP bits]
+    float entries are f32 bit patterns.
+
+    Returns (beam', records (Nx, 4C+3M+4) i32).
+    """
+    RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
+    Np = row_tabs["lB"].shape[1]
+    D = AT_row.shape[1]
+    dtype = AT_row.dtype
+
+    def site(carry, xs):
+        RL, vind, Eng, prob, valid, aidx = carry
+        (nx, lB, drindex, AT, Es_t, Esl_t, Esu_t, dmap, rmap, nvalid) = xs
+
+        RRsel = RRs[nx][aidx]
+        Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel,
+                                       vind[:, nx], vind[:, nx + 1], nvalid)
+        logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
+        probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
+        probf = probf.reshape(M * Np)
+        pmax = jnp.max(probf)
+        cutoff = pmax + log2_cutoff
+        count = jnp.sum(probf > cutoff)
+
+        k = min(C + 1, M * Np)
+        vals, idx = lax.top_k(probf, k)
+        # largest candidate discarded by the cutoff (or by the cap C) —
+        # reference pd_max bookkeeping (tnac4o/tnac4o.py:456-465)
+        kk = jnp.minimum(count, C)
+        disc_cut = jnp.where(kk < M * Np,
+                             vals[jnp.clip(kk, 0, k - 1)],
+                             jnp.asarray(NEG, vals.dtype))
+        vals_c, idx_c = vals[:C], idx[:C]
+        src = (idx_c // Np).astype(jnp.int32)
+        indc = (idx_c % Np).astype(jnp.int32)
+        cvalid = valid[src] & (vals_c > cutoff) & (vals_c > NEG / 2)
+        # the best branch always survives, even below cutoff
+        # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
+        cvalid = cvalid.at[0].set(vals_c[0] > NEG / 2)
+
+        E_cand = Eng[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
+            + Esu_t[indc, vind[src, nx + 1]]
+        vind_cand = vind[src]
+        rows_ = jnp.arange(C)
+        vind_cand = vind_cand.at[rows_, nx].set(dmap[indc])
+        vind_cand = vind_cand.at[rows_, nx + 1].set(rmap[indc])
+
+        slot, rep, prob_out, Eng_out, out_valid, disc_m = merge_candidates(
+            vind_cand, E_cand, vals_c, cvalid, min_dEng, bits, M)
+
+        vind_new = vind_cand[rep]
+        RL_new = engine.rl_update(RL[src[rep]], AT, vind_new[:, nx])
+        aidx_new = aidx[src[rep]]
+        minP = jnp.min(jnp.where(valid, mPn, 0.0))
+
+        rec = jnp.concatenate([
+            src, indc, slot, rep.astype(jnp.int32),
+            _f32bits(vals_c), _f32bits(prob_out),
+            out_valid.astype(jnp.int32),
+            jnp.stack([count.astype(jnp.int32), _f32bits(disc_cut),
+                       _f32bits(disc_m), _f32bits(minP)]),
+        ])
+        return (RL_new, vind_new, Eng_out, prob_out, out_valid,
+                aidx_new), rec
+
+    xs = (jnp.arange(Nx, dtype=jnp.int32), row_tabs["lB"],
+          row_tabs["drindex"], AT_row, row_tabs["Es"], row_tabs["Esl"],
+          row_tabs["Esu"], row_tabs["dmap"], row_tabs["rmap"],
+          row_tabs["nvalid"])
+    carry = (jnp.zeros((M, D), dtype).at[:, 0].set(1.0), beam["vind"],
+             beam["Eng"], beam["prob"], beam["valid"],
+             jnp.arange(M, dtype=jnp.int32))
+    carry, recs = lax.scan(site, carry, xs)
+    RL, vind, Eng, prob, valid, aidx = carry
+    vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
+                           axis=1)
+    out = dict(vind=vind, Eng=Eng, prob=prob, valid=valid)
+    return out, recs
 
 
 def _padded_energy_rows(ctx):

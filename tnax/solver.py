@@ -227,17 +227,30 @@ class Solver:
                                    relative_P_cutoff=1e-6, max_dEng=0.0,
                                    lim_hd=0, min_dEng=1e-12,
                                    graduate_truncation=True, Dmax=32,
-                                   tolS=1e-16, tolV=1e-10, max_sweeps=20):
+                                   tolS=1e-16, tolV=1e-10, max_sweeps=20,
+                                   path="host", cand_factor=8):
         """Low-energy spectrum search recording droplet structure (reference
-        `tnac4o/tnac4o.py:652-725`)."""
+        `tnac4o/tnac4o.py:652-725`).
+
+        path='host' keeps the reference's exact beam bookkeeping with
+        per-site device calls; path='device' runs each lattice row as one
+        device program emitting decision records that the host replays
+        (throughput mode — branch selection resolves at the compute dtype's
+        precision; recorded droplet energies stay exact float64;
+        ``cand_factor`` bounds the per-site merge candidate set at
+        cand_factor*M)."""
         from . import spectrum as _spec
         ctx = self._context()
         self.excitations_encoding = excitations_encoding
-        res = _spec.search_spectrum(
+        fn = _spec.device_search_spectrum if path == "device" \
+            else _spec.search_spectrum
+        kw = dict(cand_factor=cand_factor) if path == "device" else {}
+        res = fn(
             self, ctx, excitations_encoding, M=M,
             relative_P_cutoff=relative_P_cutoff, max_dEng=max_dEng,
             lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS, tolV=tolV,
-            max_sweeps=max_sweeps, graduate_truncation=graduate_truncation)
+            max_sweeps=max_sweeps, graduate_truncation=graduate_truncation,
+            **kw)
         self.energy = res.energy
         self.probability = res.probability
         self.degeneracy = res.degeneracy

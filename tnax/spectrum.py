@@ -388,6 +388,94 @@ def exc_print(ins, el=None, layer=1):
 
 
 # ---------------------------------------------------------------------------
+# droplet recording at a merge (shared by the host and device-record paths)
+# ---------------------------------------------------------------------------
+
+def record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng, lim_hd):
+    """Append droplet records for the losing members of one merge group.
+
+    ``bel`` is (a copy of) the group representative's excitation tree and is
+    mutated in place. ``losers`` yields one tuple per non-representative
+    member: (cdE, dfull, dP, pel) — energy gap to the representative, XOR of
+    block states vs the representative, log2-prob gap to the merged branch,
+    and the loser's own excitation tree. Implements the per-encoding
+    recording bodies of the reference
+    (`tnac4o/tnac4o.py:855-874`, `:1079-1087`, `:1271-1282`).
+    """
+    if ee == 3:
+        fresh = []
+    for cdE, dfull, dP, pel in losers:
+        if cdE > max_dEng:
+            continue
+        dpos = np.flatnonzero(dfull)
+        dstate = dfull[dpos].astype(np.int64)
+        dpos = dpos.astype(np.int64)
+        if ee == 1:
+            if lim_hd > 1 and exc_hd(ins, dstate) < lim_hd:
+                continue
+            dfirst = int(dpos[0])
+            dlast = Nx * ny + nx
+            di = exc_register(ins, dpos, dstate)
+            sel = [exc_prune_energy(sne, max_dEng - (sne[0][0] + cdE))
+                   for sne in pel
+                   if sne[0][3] >= dfirst and sne[0][0] + cdE <= max_dEng]
+            bel.append(((cdE, di, dfirst, dlast, dP), tuple(sel)))
+        elif ee == 2:
+            if (lim_hd > 1 and exc_hd(ins, dstate) < lim_hd) or \
+                    not exc_elementary(ins, dpos, dstate):
+                continue
+            di = exc_register(ins, dpos, dstate)
+            sel = [exc_prune_energy(sne, max_dEng - (sne[0][0] + cdE))
+                   for sne in pel
+                   if sne[0][0] + cdE <= max_dEng
+                   and exc_overlap(ins, di, sne[0][1])]
+            bel.append(((cdE, di), tuple(sel)))
+        else:  # ee == 3: flatten hierarchy to one layer
+            nsel = [sne for sne in pel
+                    if sne[0][0] + cdE <= max_dEng
+                    and exc_overlap(ins, (dpos, dstate), sne[0][1])]
+            sEng, sflip = unpack_v2(ins, nsel, max_dEng - cdE,
+                                    one_layer=True)
+            for nn in range(len(sEng)):
+                sub = (dpos, dstate)
+                for sdi in sflip[nn]:
+                    sub = exc_merge_shapes(ins, sub, sdi)
+                if (lim_hd <= 1 or exc_hd(ins, sub[1]) >= lim_hd) \
+                        and exc_elementary(ins, *sub):
+                    sdi = exc_register(ins, *sub)
+                    fresh.append(((sEng[nn] + cdE, sdi), ()))
+    if ee == 3:
+        bel.extend(sorted(fresh, key=lambda x: x[0][0]))
+
+
+def _finalize_spectrum(ins, ee, lim_hd):
+    """Post-search droplet cleanup shared by both paths: ee=3 greedy
+    Hamming dedup (reference `tnac4o/tnac4o.py:1323-1338`), remap of shape
+    positions to the unrotated cluster order (`:907-914`), adjacency reset."""
+    if ee == 3:
+        bel = sorted(ins.el[0], key=lambda x: x[0][0])
+        if lim_hd > 1:
+            distinct = []
+            for x in bel:
+                if all(exc_hd_pair(ins, x[0][1], y[0][1]) >= lim_hd
+                       for y in distinct):
+                    distinct.append(x)
+            ins.el[0] = distinct
+        else:
+            ins.el[0] = bel
+        exc_gc(ins)
+    ins.el = ins.el[0]
+    for key, (dpos, dstate) in ins.d.items():
+        dpos = ins.order_i[dpos]
+        srt = dpos.argsort()
+        ins.d[key] = (dpos[srt], dstate[srt])
+    if ee > 1:
+        reset_adjacency(ins, ins.J0 if ins.mode == "Ising" else None,
+                        ins.Nx_model, ins.Ny_model,
+                        ins.ind0 if ins.mode == "Ising" else None)
+
+
+# ---------------------------------------------------------------------------
 # spectrum search
 # ---------------------------------------------------------------------------
 
@@ -468,58 +556,12 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
                 rep_kk = rep[kk]
                 E_kk = Eng[rep_kk]
                 bel = ins.el[inds[rep_kk]][:]
-                if ee == 3:
-                    fresh = []
-                for ii in members:
-                    cdE = Eng[ii] - E_kk
-                    if cdE > max_dEng or ii == rep_kk:
-                        continue
-                    dfull = np.bitwise_xor(states[rep_kk], states[ii])
-                    dpos = np.flatnonzero(dfull)
-                    dstate = dfull[dpos].astype(np.int64)
-                    dpos = dpos.astype(np.int64)
-                    if ee == 1:
-                        if lim_hd > 1 and exc_hd(ins, dstate) < lim_hd:
-                            continue
-                        dfirst = int(dpos[0])
-                        dlast = Nx * ny + nx
-                        dP = probf[ii] - probn[kk]
-                        di = exc_register(ins, dpos, dstate)
-                        sel = [exc_prune_energy(sne,
-                                                max_dEng - (sne[0][0] + cdE))
-                               for sne in ins.el[inds[ii]]
-                               if sne[0][3] >= dfirst
-                               and sne[0][0] + cdE <= max_dEng]
-                        bel.append(((cdE, di, dfirst, dlast, dP), tuple(sel)))
-                    elif ee == 2:
-                        if (lim_hd > 1 and exc_hd(ins, dstate) < lim_hd) or \
-                                not exc_elementary(ins, dpos, dstate):
-                            continue
-                        di = exc_register(ins, dpos, dstate)
-                        sel = [exc_prune_energy(sne,
-                                                max_dEng - (sne[0][0] + cdE))
-                               for sne in ins.el[inds[ii]]
-                               if sne[0][0] + cdE <= max_dEng
-                               and exc_overlap(ins, di, sne[0][1])]
-                        bel.append(((cdE, di), tuple(sel)))
-                    else:  # ee == 3: flatten hierarchy to one layer
-                        nsel = [sne for sne in ins.el[inds[ii]]
-                                if sne[0][0] + cdE <= max_dEng
-                                and exc_overlap(ins, (dpos, dstate),
-                                                sne[0][1])]
-                        sEng, sflip = unpack_v2(ins, nsel, max_dEng - cdE,
-                                                one_layer=True)
-                        for nn in range(len(sEng)):
-                            sub = (dpos, dstate)
-                            for sdi in sflip[nn]:
-                                sub = exc_merge_shapes(ins, sub, sdi)
-                            if (lim_hd <= 1
-                                    or exc_hd(ins, sub[1]) >= lim_hd) \
-                                    and exc_elementary(ins, *sub):
-                                sdi = exc_register(ins, *sub)
-                                fresh.append(((sEng[nn] + cdE, sdi), ()))
-                if ee == 3:
-                    bel.extend(sorted(fresh, key=lambda x: x[0][0]))
+                losers = ((Eng[ii] - E_kk,
+                           np.bitwise_xor(states[rep_kk], states[ii]),
+                           probf[ii] - probn[kk], ins.el[inds[ii]])
+                          for ii in members if ii != rep_kk)
+                record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng,
+                              lim_hd)
                 new_el.append(bel)
 
             vind = vindn[keep]
@@ -546,35 +588,198 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
         vind[:, 1:] = vind[:, :-1]
         vind[:, 0] = 0
 
-    if ee == 3:
-        # greedy Hamming-distance dedup, sorted by energy
-        # (reference tnac4o/tnac4o.py:1323-1338)
-        bel = sorted(ins.el[0], key=lambda x: x[0][0])
-        if lim_hd > 1:
-            distinct = []
-            for x in bel:
-                if all(exc_hd_pair(ins, x[0][1], y[0][1]) >= lim_hd
-                       for y in distinct):
-                    distinct.append(x)
-            ins.el[0] = distinct
-        else:
-            ins.el[0] = bel
-        exc_gc(ins)
-
     logger.info("Spectrum search total: %.2f s", time.time() - t_total)
-    ins.el = ins.el[0]
-    # remap shape positions to the unrotated cluster order
-    # (reference tnac4o/tnac4o.py:907-914)
-    for key, (dpos, dstate) in ins.d.items():
-        dpos = ins.order_i[dpos]
-        srt = dpos.argsort()
-        ins.d[key] = (dpos[srt], dstate[srt])
-    if ee > 1:
-        reset_adjacency(ins, ins.J0 if ins.mode == "Ising" else None,
-                        ins.Nx_model, ins.Ny_model,
-                        ins.ind0 if ins.mode == "Ising" else None)
+    _finalize_spectrum(ins, ee, lim_hd)
 
     return SearchResult(
         energy=Eng, probability=prob, degeneracy=int(deg[0]), states=states,
+        discarded_probability=float(pd_max),
+        negative_probability=min(globalmin, 0.0))
+
+
+def device_search_spectrum(ins, ctx: ContractionContext,
+                           excitations_encoding, M=2 ** 10,
+                           relative_P_cutoff=1e-6, max_dEng=0.0, lim_hd=0,
+                           min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
+                           max_sweeps=20, graduate_truncation=True,
+                           cand_factor=8) -> SearchResult:
+    """Device-record spectrum search (throughput mode).
+
+    The device runs each lattice row as one jitted program
+    (`tnax.parallel.row_records_prog`) making every beam decision itself and
+    emitting a packed per-site decision record; rows are dispatched
+    back-to-back so the accelerator runs ahead while the host replays exact
+    float64 energies, states, degeneracies and droplet trees from the
+    records. One device->host pull per row replaces the host-orchestrated
+    path's three tunnel crossings per site.
+
+    Semantics match :func:`search_spectrum` (and the reference,
+    `tnac4o/tnac4o.py:727-1358`) except: branch selection (cutoff, merge
+    representative, top-M) resolves at the compute dtype's precision (f32 on
+    TPU), and the expanded candidate set is capped at ``cand_factor * M``
+    per site (a warning is logged if the cutoff would have kept more — the
+    reference merges the full post-cutoff set). Recorded droplet energies
+    are always exact float64.
+    """
+    from . import parallel as par
+    ee = excitations_encoding
+    t_total = time.time()
+    logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    logger.info("Elapsed: %.2f s", time.time() - t_total)
+
+    Ny, Nx, Np = ctx.Ny, ctx.Nx, ctx.Np
+    dtype = ctx.dtype
+    C = int(min(cand_factor * M, M * Np))
+    bits = max(1, int(np.ceil(np.log2(max(ctx.lh, ctx.lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else par.NEG
+    EsP, EslP, EsuP = par._padded_energy_rows(ctx)
+    nvalid = jnp.asarray(ctx.nstates, jnp.int32)
+
+    # dispatch all rows; jax async dispatch lets the device run ahead of the
+    # host replay below
+    beam = dict(vind=jnp.zeros((M, Nx + 1), jnp.int32),
+                Eng=jnp.zeros((M,), dtype),
+                prob=jnp.full((M,), par.NEG, dtype).at[0].set(0.0),
+                valid=jnp.zeros((M,), bool).at[0].set(True))
+    rec_handles = []
+    for ny in range(Ny):
+        row_tabs = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny], Es=EsP[ny],
+                        Esl=EslP[ny], Esu=EsuP[ny],
+                        dmap=jnp.asarray(ctx.dmap[ny]),
+                        rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny])
+        beam, recs = par.row_records_prog(
+            beam, row_tabs, ctx.rhoT[ny + 1], ctx.Wt[ny], M=M, C=C, Nx=Nx,
+            bits=bits, min_dEng=float(min_dEng), log2_cutoff=log2_cutoff)
+        rec_handles.append(recs)
+
+    # host replay: exact f64 bookkeeping + droplet trees from the records
+    exc_init(ins)
+    ins.el = [[] for _ in range(M)]
+    if ee > 1:
+        reset_adjacency(ins, ins.problem.J if ins.mode == "Ising" else None,
+                        Nx, Ny,
+                        ins.problem.ind if ins.mode == "Ising" else None)
+    L = Nx * Ny
+    Eng_h = np.zeros(M)
+    states_h = np.zeros((M, L), dtype=np.int32)
+    vind_h = np.zeros((M, Nx + 1), dtype=np.int32)
+    deg_h = np.ones(M, dtype=np.int64)
+    out_valid = np.zeros(M, bool)
+    out_valid[0] = True
+    out_prob = np.full(M, par.NEG)
+    out_prob[0] = 0.0
+    pd_max, globalmin = -np.inf, 1.0
+    overflow = 0
+
+    for ny in range(Ny):
+        t_row = time.time()
+        R = np.asarray(rec_handles[ny])     # one pull per row
+        for nx in range(Nx):
+            r = R[nx]
+            src = r[:C]
+            indc = r[C:2 * C]
+            slot = r[2 * C:3 * C]
+            rep = r[3 * C:3 * C + M]
+            cprob = r[3 * C + M:4 * C + M].view(np.float32).astype(np.float64)
+            out_prob = r[4 * C + M:4 * C + 2 * M].view(np.float32) \
+                .astype(np.float64)
+            out_valid = r[4 * C + 2 * M:4 * C + 3 * M].astype(bool)
+            count = int(r[-4])
+            disc_cut, disc_m, minP = (float(x) for x in
+                                      r[-3:].view(np.float32))
+            if count > C:
+                overflow += 1
+            for disc in (disc_cut, disc_m):
+                if disc > par.NEG / 2:
+                    pd_max = max(pd_max, disc)
+            globalmin = min(globalmin, minP)
+
+            Es, Esl, Esu = ctx.energy_tables(ny, nx)
+            n = len(Es)
+            ic = np.minimum(indc, n - 1)    # clamp padded junk candidates
+            E_cand = Eng_h[src] + Es[ic] + Esl[ic, vind_h[src, nx]] \
+                + Esu[ic, vind_h[src, nx + 1]]
+            col = ny * Nx + nx
+
+            # grouping of candidates by output slot
+            order = np.argsort(slot, kind="stable")
+            first = np.searchsorted(slot[order], 0)
+            gidx = order[first:]
+            gsl = slot[gidx]
+            starts = np.flatnonzero(np.r_[True, gsl[1:] != gsl[:-1]])
+            ends = np.r_[starts[1:], len(gsl)]
+
+            # vectorized exact degeneracy (reference tnac4o/tnac4o.py:492-509)
+            degn = np.zeros(M, dtype=np.int64)
+            if len(gidx):
+                Eo = E_cand[gidx]
+                Emin_g = np.minimum.reduceat(Eo, starts)
+                gpos = np.repeat(np.arange(len(starts)), ends - starts)
+                near = (Eo - Emin_g[gpos]) <= min_dEng
+                dego = np.where(near, deg_h[src[gidx]], 0)
+                degn[gsl[starts]] = np.add.reduceat(dego, starts)
+
+            # droplet recording for groups with losing members
+            new_el = [[] for _ in range(M)]
+            for j in range(len(starts)):
+                members = gidx[starts[j]:ends[j]]
+                kk = int(gsl[starts[j]])
+                r_c = int(rep[kk])
+                p_rep = int(src[r_c])
+                bel = ins.el[p_rep][:]
+                if len(members) > 1:
+                    E_rep = E_cand[r_c]
+                    st_rep = states_h[p_rep].copy()
+                    st_rep[col] = indc[r_c]
+                    losers = []
+                    for ii in members:
+                        ii = int(ii)
+                        if ii == r_c or E_cand[ii] - E_rep > max_dEng:
+                            continue
+                        st_i = states_h[src[ii]].copy()
+                        st_i[col] = indc[ii]
+                        losers.append((E_cand[ii] - E_rep,
+                                       np.bitwise_xor(st_rep, st_i),
+                                       cprob[ii] - out_prob[kk],
+                                       ins.el[src[ii]]))
+                    record_losers(ins, ee, bel, losers, ny, nx, Nx,
+                                  max_dEng, lim_hd)
+                new_el[kk] = bel
+
+            # replayed beam update
+            psrc = src[rep]
+            Eng_h = np.where(out_valid, E_cand[rep], 0.0)
+            states_h = states_h[psrc]
+            states_h[:, col] = indc[rep]
+            vind_h = vind_h[psrc]
+            vind_h[:, nx] = ctx.dmap[ny, nx][indc[rep]]
+            vind_h[:, nx + 1] = ctx.rmap[ny, nx][indc[rep]]
+            deg_h = degn
+            ins.el = new_el
+            if ee < 3:
+                exc_gc(ins)
+        if ee == 3:
+            exc_gc(ins)
+        vind_h[:, 1:] = vind_h[:, :-1]
+        vind_h[:, 0] = 0
+        logger.info("Row %d/%d replayed: %d branches, %d shapes, %.2f s",
+                    ny + 1, Ny, int(out_valid.sum()), len(ins.d),
+                    time.time() - t_row)
+
+    if overflow:
+        logger.warning(
+            "candidate cap C=%d exceeded at %d sites — some merge losers "
+            "were not recorded; raise cand_factor for a complete spectrum",
+            C, overflow)
+    logger.info("Spectrum search total: %.2f s", time.time() - t_total)
+
+    keep = np.flatnonzero(out_valid)
+    ins.el = [ins.el[kk] for kk in keep]
+    _finalize_spectrum(ins, ee, lim_hd)
+    return SearchResult(
+        energy=Eng_h[keep], probability=out_prob[keep],
+        degeneracy=int(deg_h[keep[0]]), states=states_h[keep],
         discarded_probability=float(pd_max),
         negative_probability=min(globalmin, 0.0))
