@@ -50,6 +50,7 @@ def exc_init(ins):
     ins.invd = {}
     ins.el = [[]]
     ins.free_d = 0
+    ins._shape_masks = {}
 
 
 def _semihash(dpos, dstate):
@@ -106,10 +107,27 @@ def exc_gc(ins):
 
 def reset_adjacency(ins, J, Nx, Ny, ind):
     """Adjacency matrix + cluster-XOR decode tables (reference `_reset_adj`,
-    `tnac4o/tnac4o.py:2021-2041`)."""
+    `tnac4o/tnac4o.py:2021-2041`).
+
+    Also builds uint64 bitset views of the adjacency (`adj_bits`) and unit
+    rows (`unit_bits`) so that the droplet-overlap test — the hottest host
+    operation during spectrum replay — reduces to a few word-ANDs instead
+    of a dense submatrix gather."""
+    ins._shape_masks = {}
     if ins.mode == "Ising":
         adj = (scipy.sparse.triu(J, 1) != 0)
         ins.adj = (adj + adj.T).toarray()
+        L = ins.adj.shape[0]
+        W = (L + 63) // 64
+        padded = np.zeros((L, W * 64), dtype=bool)
+        padded[:, :L] = ins.adj
+        # exact bit order is irrelevant — only consistency across masks
+        ins.adj_bits = np.packbits(padded, axis=-1) \
+            .view(np.uint64).reshape(L, W)
+        eye = np.zeros((L, W * 64), dtype=bool)
+        eye[np.arange(L), np.arange(L)] = True
+        ins.unit_bits = np.packbits(eye, axis=-1) \
+            .view(np.uint64).reshape(L, W)
         ins.xor2ind = []
         for ny in range(Ny):
             for nx in range(Nx):
@@ -160,14 +178,36 @@ def _shape_of(ins, e):
     return ins.d[e] if isinstance(e, (int, np.integer)) else e
 
 
+def _shape_masks(ins, e):
+    """(spin bitset, adjacency-neighborhood bitset) of a droplet, cached by
+    dictionary key. Keys are never reused (`free_d` is monotone), and the
+    cache is cleared whenever the adjacency tables are rebuilt."""
+    if isinstance(e, (int, np.integer)):
+        hit = ins._shape_masks.get(e)
+        if hit is not None:
+            return hit
+        spins = _flipped_spins(ins, *ins.d[e])
+        masks = (np.bitwise_or.reduce(ins.unit_bits[spins], axis=0),
+                 np.bitwise_or.reduce(ins.adj_bits[spins], axis=0))
+        ins._shape_masks[e] = masks
+        return masks
+    spins = _flipped_spins(ins, *e)
+    return (np.bitwise_or.reduce(ins.unit_bits[spins], axis=0),
+            np.bitwise_or.reduce(ins.adj_bits[spins], axis=0))
+
+
 def exc_overlap(ins, e1, e2):
     """Do two droplets interact? (reference `_exc_overlap`,
-    `tnac4o/tnac4o.py:2116-2141`)."""
-    s1, s2 = _shape_of(ins, e1), _shape_of(ins, e2)
+    `tnac4o/tnac4o.py:2116-2141`).
+
+    Ising fast path: `any(neighborhood(e1) & spins(e2))` on cached uint64
+    bitsets — equivalent to the reference's `any(adj[i1][:, i2])` because
+    the adjacency is symmetric."""
     if ins.mode == "Ising":
-        i1 = _flipped_spins(ins, *s1)
-        i2 = _flipped_spins(ins, *s2)
-        return bool(np.any(ins.adj[i1][:, i2]))
+        _, nm1 = _shape_masks(ins, e1)
+        sm2, _ = _shape_masks(ins, e2)
+        return bool(np.bitwise_and(nm1, sm2).any())
+    s1, s2 = _shape_of(ins, e1), _shape_of(ins, e2)
     p1, p2 = s1[0], s2[0]
     x1, y1 = p1 % ins.adj_Nx, p1 // ins.adj_Nx
     x2, y2 = p2 % ins.adj_Nx, p2 // ins.adj_Nx
