@@ -51,6 +51,7 @@ def exc_init(ins):
     ins.el = [[]]
     ins.free_d = 0
     ins._shape_masks = {}
+    ins._keyl = {}
 
 
 def _semihash(dpos, dstate):
@@ -61,18 +62,20 @@ def _semihash(dpos, dstate):
 
 def exc_register(ins, dpos, dstate):
     """Deduplicating insert into the shape dictionary; returns the key
-    (reference `_exc_add_to_d`, `tnac4o/tnac4o.py:2051-2069`)."""
+    (reference `_exc_add_to_d`, `tnac4o/tnac4o.py:2051-2069`).
+
+    Dedup goes through an exact byte-key dict (``_keyl``); the reference's
+    semi-hash index ``invd`` is still maintained in its format for save/load
+    parity."""
+    kb = (dpos.tobytes(), dstate.tobytes())
+    hit = ins._keyl.get(kb)
+    if hit is not None:
+        return hit
     sh = _semihash(dpos, dstate)
     key = ins.free_d
-    if sh in ins.invd:
-        for cand in ins.invd[sh]:
-            cp, cs = ins.d[cand]
-            if np.array_equal(dpos, cp) and np.array_equal(dstate, cs):
-                return cand
-        ins.invd[sh].append(key)
-    else:
-        ins.invd[sh] = [key]
+    ins.invd.setdefault(sh, []).append(key)
     ins.d[key] = (dpos, dstate)
+    ins._keyl[kb] = key
     ins.free_d += 1
     return key
 
@@ -97,12 +100,13 @@ def exc_gc(ins):
 
     for bel in ins.el:
         walk(bel)
-    nd, ninvd = {}, {}
+    nd, ninvd, nkeyl = {}, {}, {}
     for k in live:
-        nd[k] = ins.d[k]
-        sh = _semihash(*ins.d[k])
-        ninvd.setdefault(sh, []).append(k)
-    ins.d, ins.invd = nd, ninvd
+        dpos, dstate = ins.d[k]
+        nd[k] = (dpos, dstate)
+        ninvd.setdefault(_semihash(dpos, dstate), []).append(k)
+        nkeyl[(dpos.tobytes(), dstate.tobytes())] = k
+    ins.d, ins.invd, ins._keyl = nd, ninvd, nkeyl
 
 
 def reset_adjacency(ins, J, Nx, Ny, ind):
@@ -155,14 +159,20 @@ def _flipped_spins(ins, dpos, dstate):
 
 def exc_elementary(ins, dpos, dstate):
     """Is the droplet single-connected? (reference `_exc_elementary`,
-    `tnac4o/tnac4o.py:2087-2114`)."""
+    `tnac4o/tnac4o.py:2087-2114`). Ising runs the same BFS on uint64
+    bitsets (word-ANDs instead of dense submatrix gathers per wave)."""
     if ins.mode == "Ising":
         spins = _flipped_spins(ins, dpos, dstate)
-        grp, rest = spins[:1], spins[1:]
-        while grp.size and rest.size:
-            hit = np.any(ins.adj[grp][:, rest], axis=0)
-            grp, rest = rest[hit], rest[~hit]
-        return rest.size == 0
+        if spins.size <= 1:
+            return True
+        rest = np.bitwise_or.reduce(ins.unit_bits[spins[1:]], axis=0)
+        frontier = spins[:1]
+        while frontier.size and rest.any():
+            nb = np.bitwise_or.reduce(ins.adj_bits[frontier], axis=0)
+            new = nb & rest
+            rest &= ~new
+            frontier = np.flatnonzero(np.unpackbits(new.view(np.uint8)))
+        return not rest.any()
     grp, rest = dpos[:1], dpos[1:]
     while grp.size and rest.size:
         gx, gy = grp % ins.adj_Nx, grp // ins.adj_Nx
@@ -436,20 +446,17 @@ def record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng, lim_hd):
 
     ``bel`` is (a copy of) the group representative's excitation tree and is
     mutated in place. ``losers`` yields one tuple per non-representative
-    member: (cdE, dfull, dP, pel) — energy gap to the representative, XOR of
-    block states vs the representative, log2-prob gap to the merged branch,
-    and the loser's own excitation tree. Implements the per-encoding
-    recording bodies of the reference
+    member: (cdE, dpos, dstate, dP, pel) — energy gap to the representative,
+    positions and values of the XOR of block states vs the representative,
+    log2-prob gap to the merged branch, and the loser's own excitation tree.
+    Implements the per-encoding recording bodies of the reference
     (`tnac4o/tnac4o.py:855-874`, `:1079-1087`, `:1271-1282`).
     """
     if ee == 3:
         fresh = []
-    for cdE, dfull, dP, pel in losers:
+    for cdE, dpos, dstate, dP, pel in losers:
         if cdE > max_dEng:
             continue
-        dpos = np.flatnonzero(dfull)
-        dstate = dfull[dpos].astype(np.int64)
-        dpos = dpos.astype(np.int64)
         if ee == 1:
             if lim_hd > 1 and exc_hd(ins, dstate) < lim_hd:
                 continue
@@ -596,10 +603,13 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
                 rep_kk = rep[kk]
                 E_kk = Eng[rep_kk]
                 bel = ins.el[inds[rep_kk]][:]
-                losers = ((Eng[ii] - E_kk,
-                           np.bitwise_xor(states[rep_kk], states[ii]),
-                           probf[ii] - probn[kk], ins.el[inds[ii]])
-                          for ii in members if ii != rep_kk)
+                def _loser(ii):
+                    dfull = np.bitwise_xor(states[rep_kk], states[ii])
+                    dpos = np.flatnonzero(dfull).astype(np.int64)
+                    return (Eng[ii] - E_kk, dpos,
+                            dfull[dpos].astype(np.int64),
+                            probf[ii] - probn[kk], ins.el[inds[ii]])
+                losers = (_loser(ii) for ii in members if ii != rep_kk)
                 record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng,
                               lim_hd)
                 new_el.append(bel)
@@ -761,35 +771,48 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                 dego = np.where(near, deg_h[src[gidx]], 0)
                 degn[gsl[starts]] = np.add.reduceat(dego, starts)
 
-            # droplet recording for groups with losing members
-            new_el = [[] for _ in range(M)]
-            for j in range(len(starts)):
-                members = gidx[starts[j]:ends[j]]
-                kk = int(gsl[starts[j]])
-                r_c = int(rep[kk])
-                p_rep = int(src[r_c])
-                bel = ins.el[p_rep][:]
-                if len(members) > 1:
-                    E_rep = E_cand[r_c]
-                    st_rep = states_h[p_rep].copy()
-                    st_rep[col] = indc[r_c]
-                    losers = []
-                    for ii in members:
-                        ii = int(ii)
-                        if ii == r_c or E_cand[ii] - E_rep > max_dEng:
-                            continue
-                        st_i = states_h[src[ii]].copy()
-                        st_i[col] = indc[ii]
-                        losers.append((E_cand[ii] - E_rep,
-                                       np.bitwise_xor(st_rep, st_i),
-                                       cprob[ii] - out_prob[kk],
-                                       ins.el[src[ii]]))
-                    record_losers(ins, ee, bel, losers, ny, nx, Nx,
-                                  max_dEng, lim_hd)
-                new_el[kk] = bel
+            # droplet recording, batched: excitation trees are shared with
+            # the parent branch (copy-on-append), the cdE filter and state
+            # XORs run vectorized over all losers of the site at once
+            psrc = src[rep]
+            new_el = [ins.el[int(p)] if v else []
+                      for p, v in zip(psrc, out_valid)]
+            if len(gidx):
+                rep_of_group = rep[gsl[starts]]     # candidate idx per group
+                gpos = np.repeat(np.arange(len(starts)), ends - starts)
+                cdE_all = E_cand[gidx] - E_cand[rep_of_group[gpos]]
+                sel = (gidx != rep_of_group[gpos]) & (cdE_all <= max_dEng)
+                l_idx, l_grp, l_cdE = gidx[sel], gpos[sel], cdE_all[sel]
+                if l_idx.size:
+                    lr = rep_of_group[l_grp]
+                    st_l = states_h[src[l_idx]]     # fancy index -> copies
+                    st_l[:, col] = indc[l_idx]
+                    st_r = states_h[src[lr]]
+                    st_r[:, col] = indc[lr]
+                    dx = np.bitwise_xor(st_r, st_l)
+                    rows_nz, cols_nz = np.nonzero(dx)
+                    bounds = np.searchsorted(rows_nz,
+                                             np.arange(len(l_idx) + 1))
+                    gs2 = np.flatnonzero(np.r_[True, l_grp[1:] != l_grp[:-1]])
+                    ge2 = np.r_[gs2[1:], len(l_grp)]
+                    slot_of_group = gsl[starts]
+                    for a, b in zip(gs2, ge2):
+                        kk = int(slot_of_group[l_grp[a]])
+                        bel = new_el[kk][:]
+                        losers = []
+                        for t in range(a, b):
+                            ii = int(l_idx[t])
+                            dpos = cols_nz[bounds[t]:bounds[t + 1]] \
+                                .astype(np.int64)
+                            losers.append((l_cdE[t], dpos,
+                                           dx[t, dpos].astype(np.int64),
+                                           cprob[ii] - out_prob[kk],
+                                           ins.el[src[ii]]))
+                        record_losers(ins, ee, bel, losers, ny, nx, Nx,
+                                      max_dEng, lim_hd)
+                        new_el[kk] = bel
 
             # replayed beam update
-            psrc = src[rep]
             Eng_h = np.where(out_valid, E_cand[rep], 0.0)
             states_h = states_h[psrc]
             states_h[:, col] = indc[rep]
