@@ -111,3 +111,43 @@ def test_solver_device_paths():
     E = ins.gibbs_sampling(M=16, Dmax=8, path="device", seed=5)
     assert len(E) == 16
     assert np.allclose(E, tnax.energy_Jij(J, ins.binary_states()), atol=1e-9)
+
+
+def test_merge_candidates_matches_host():
+    """merge_candidates (full candidate-set merge + top-M, feeding the
+    device-record spectrum) reproduces merge_by_vind's groups, including
+    slot membership and representative choice, on random data with ties."""
+    rng = np.random.default_rng(1)
+    Cn, cols, M = 96, 5, 16
+    vind = rng.integers(0, 3, size=(Cn, cols)).astype(np.int32)
+    Eng = np.round(rng.normal(size=Cn), 1)
+    prob = rng.normal(size=Cn)
+    valid = rng.random(Cn) > 0.1
+    slot, rep, prob_out, Eng_out, out_valid, disc = parallel.merge_candidates(
+        jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
+        jnp.asarray(valid), 1e-12, bits=2, M=M)
+    slot, rep = np.asarray(slot), np.asarray(rep)
+    prob_out, Eng_out = np.asarray(prob_out), np.asarray(Eng_out)
+    out_valid = np.asarray(out_valid)
+
+    vh, Eh, ph = vind[valid], Eng[valid], prob[valid]
+    dh = np.ones(valid.sum(), np.int64)
+    vindn, hrep, degn, probn, *_ = merge_by_vind(vh, Eh, ph, dh, 1e-12)
+    order = np.argsort(-probn)[:M]          # host top-M groups by prob
+
+    # kept groups agree on (energy, prob); device slots sorted by prob
+    got = sorted(zip(Eng_out[out_valid], np.round(prob_out[out_valid], 10)))
+    want = sorted(zip(Eh[hrep][order], np.round(probn[order], 10)))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == pytest.approx(w[0])
+        assert g[1] == pytest.approx(w[1])
+    # membership: every valid candidate's slot groups identical vind rows,
+    # rep is a min-energy member of its slot
+    for kk in np.flatnonzero(out_valid):
+        members = np.flatnonzero(slot == kk)
+        assert members.size > 0
+        assert (vind[members] == vind[int(rep[kk])]).all()
+        assert Eng[int(rep[kk])] == pytest.approx(Eng[members].min())
+    # invalid candidates never map to a slot
+    assert (slot[~valid] == -1).all()
