@@ -704,6 +704,13 @@ def device_search_spectrum(ins, ctx: ContractionContext,
             bits=bits, min_dEng=float(min_dEng), log2_cutoff=log2_cutoff)
         rec_handles.append(recs)
 
+    import os as _os
+    if _os.environ.get("TNAX_SPECTRUM_TIMING"):
+        # split device wall from host replay (disables their overlap)
+        rec_handles[-1].block_until_ready()
+        logger.info("device phase done: %.2f s", time.time() - t_total)
+        t_replay = time.time()
+
     # host replay: exact f64 bookkeeping + droplet trees from the records
     exc_init(ins)
     ins.el = [[] for _ in range(M)]
@@ -836,6 +843,8 @@ def device_search_spectrum(ins, ctx: ContractionContext,
             "candidate cap C=%d exceeded at %d sites — some merge losers "
             "were not recorded; raise cand_factor for a complete spectrum",
             C, overflow)
+    if _os.environ.get("TNAX_SPECTRUM_TIMING"):
+        logger.info("host replay phase: %.2f s", time.time() - t_replay)
     logger.info("Spectrum search total: %.2f s", time.time() - t_total)
 
     keep = np.flatnonzero(out_valid)
