@@ -15,7 +15,7 @@ from common import CHIMERA_SHAPES, load_droplet_instance
 
 
 def search_gs_droplet(L=128, instance=1, rot=0, beta=3, D=48, M=1024,
-                      relative_P_cutoff=1e-8, precondition=True):
+                      relative_P_cutoff=1e-8, precondition=True, path="host"):
     Nx, Ny, Nc = CHIMERA_SHAPES[L]
     J = load_droplet_instance(L, instance)
     ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=beta)
@@ -24,7 +24,8 @@ def search_gs_droplet(L=128, instance=1, rot=0, beta=3, D=48, M=1024,
         ins.rotate_graph(rot=rot)
     if precondition:
         ins.precondition(mode="balancing")
-    ins.search_ground_state(M=M, relative_P_cutoff=relative_P_cutoff, Dmax=D)
+    ins.search_ground_state(M=M, relative_P_cutoff=relative_P_cutoff,
+                            Dmax=D, path=path)
     return ins
 
 
@@ -37,6 +38,8 @@ if __name__ == "__main__":
     p.add_argument("-D", type=int, default=48, help="boundary-MPS bond dim")
     p.add_argument("-M", type=int, default=2 ** 10, help="beam width")
     p.add_argument("-P", type=float, default=1e-8, help="relative P cutoff")
+    p.add_argument("-path", choices=["host", "device"], default="host",
+                   help="beam bookkeeping: exact host or device-resident")
     p.add_argument("-no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True)
     args = p.parse_args()
@@ -45,7 +48,8 @@ if __name__ == "__main__":
     t0 = time.time()
     ins = search_gs_droplet(L=args.L, instance=args.ins, rot=args.r,
                             beta=args.b, D=args.D, M=args.M,
-                            relative_P_cutoff=args.P, precondition=args.pre)
+                            relative_P_cutoff=args.P, precondition=args.pre,
+                            path=args.path)
     ins.logger.info("Total time : %.2f seconds", time.time() - t0)
     ins.show_solution()
     print("Solution [1 -> spin up; 0 -> spin down]:")

@@ -16,7 +16,7 @@ from common import CHIMERA_SHAPES, load_droplet_instance
 
 def search_spectrum_droplet(L=128, instance=1, rot=0, beta=3, D=48, M=1024,
                             relative_P_cutoff=1e-8, excitations_encoding=1,
-                            dE=1.0, hd=0, precondition=True):
+                            dE=1.0, hd=0, precondition=True, path="host"):
     Nx, Ny, Nc = CHIMERA_SHAPES[L]
     J = load_droplet_instance(L, instance)
     ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=beta)
@@ -28,7 +28,8 @@ def search_spectrum_droplet(L=128, instance=1, rot=0, beta=3, D=48, M=1024,
         ins.precondition(mode="balancing")
     ins.search_low_energy_spectrum(
         excitations_encoding=excitations_encoding, M=M,
-        relative_P_cutoff=relative_P_cutoff, Dmax=D, max_dEng=dE, lim_hd=hd)
+        relative_P_cutoff=relative_P_cutoff, Dmax=D, max_dEng=dE,
+        lim_hd=hd, path=path)
     return ins
 
 
@@ -46,6 +47,8 @@ if __name__ == "__main__":
     p.add_argument("-ee", type=int, default=1, choices=[1, 2, 3])
     p.add_argument("-s", dest="save", action="store_true",
                    help="save result to .npy")
+    p.add_argument("-path", choices=["host", "device"], default="host",
+                   help="beam bookkeeping: exact host or device-resident")
     p.add_argument("-no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True, save=False)
     args = p.parse_args()
@@ -56,7 +59,7 @@ if __name__ == "__main__":
         L=args.L, instance=args.ins, rot=args.r, beta=args.b, D=args.D,
         M=args.M, relative_P_cutoff=args.P,
         excitations_encoding=args.ee, dE=args.dE, hd=args.hd,
-        precondition=args.pre)
+        precondition=args.pre, path=args.path)
     ins.logger.info("Total time : %.2f seconds", time.time() - t0)
     ins.show_solution()
     if args.save:
