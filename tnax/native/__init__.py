@@ -1,0 +1,72 @@
+"""ctypes binding for the native droplet kernels (tnax/native/droplets.c).
+
+The shared library is compiled on first use with the system C compiler and
+cached next to the source (rebuilt when the source is newer). Everything
+degrades gracefully: if no compiler is available, ``lib()`` returns None
+and `tnax.spectrum` keeps its NumPy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import sysconfig
+
+import numpy as np
+
+logger = logging.getLogger("tnax")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "droplets.c")
+_SO = os.path.join(_HERE, "_droplets.so")
+_LIB = None
+_TRIED = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+
+def _build():
+    cc = os.environ.get("CC") or sysconfig.get_config_var("CC") or "cc"
+    cmd = cc.split() + ["-O2", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib():
+    """The loaded library, building it if needed; None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("TNAX_NATIVE", "1") == "0":
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        L = ctypes.CDLL(_SO)
+        L.tnax_hd_pair_ising.restype = ctypes.c_int64
+        L.tnax_hd_pair_ising.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                         _i64p, _i64p, ctypes.c_int64]
+        L.tnax_hd_pair_rmf.restype = ctypes.c_int64
+        L.tnax_hd_pair_rmf.argtypes = L.tnax_hd_pair_ising.argtypes
+        L.tnax_merge_shapes.restype = ctypes.c_int64
+        L.tnax_merge_shapes.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                        _i64p, _i64p, ctypes.c_int64,
+                                        _i64p, _i64p]
+        L.tnax_overlap.restype = ctypes.c_int
+        L.tnax_overlap.argtypes = [_u64p, _u64p, ctypes.c_int64]
+        L.tnax_or_rows.restype = None
+        L.tnax_or_rows.argtypes = [_u64p, ctypes.c_int64, _i64p,
+                                   ctypes.c_int64, _u64p]
+        L.tnax_elementary.restype = ctypes.c_int
+        L.tnax_elementary.argtypes = [_u64p, ctypes.c_int64, _i64p,
+                                      ctypes.c_int64]
+        _LIB = L
+    except Exception as e:  # pragma: no cover - no toolchain
+        logger.info("native droplet kernels unavailable (%s); "
+                    "using NumPy fallbacks", e)
+        _LIB = None
+    return _LIB

@@ -33,6 +33,7 @@ import scipy.sparse
 import jax.numpy as jnp
 
 from . import engine
+from . import native as _native
 from .problems import block_bits
 from .search import (ContractionContext, _pad1, expand_candidates,
                      top_m, merge_by_vind, SearchResult)
@@ -125,12 +126,13 @@ def reset_adjacency(ins, J, Nx, Ny, ind):
         W = (L + 63) // 64
         padded = np.zeros((L, W * 64), dtype=bool)
         padded[:, :L] = ins.adj
-        # exact bit order is irrelevant — only consistency across masks
-        ins.adj_bits = np.packbits(padded, axis=-1) \
+        # little-endian bit order: spin c <-> bit (c & 63) of word (c >> 6),
+        # shared with the native kernels (tnax/native/droplets.c)
+        ins.adj_bits = np.packbits(padded, axis=-1, bitorder="little") \
             .view(np.uint64).reshape(L, W)
         eye = np.zeros((L, W * 64), dtype=bool)
         eye[np.arange(L), np.arange(L)] = True
-        ins.unit_bits = np.packbits(eye, axis=-1) \
+        ins.unit_bits = np.packbits(eye, axis=-1, bitorder="little") \
             .view(np.uint64).reshape(L, W)
         ins.xor2ind = []
         for ny in range(Ny):
@@ -154,7 +156,8 @@ def reset_adjacency_from_saved(ins, adj):
 def _flipped_spins(ins, dpos, dstate):
     """Global ids of flipped spins (reference `_exc_xor2ind`,
     `tnac4o/tnac4o.py:2081-2085`)."""
-    return np.hstack([ins.xor2ind[p][s] for p, s in zip(dpos, dstate)])
+    return np.hstack([ins.xor2ind[p][s] for p, s in zip(dpos, dstate)]) \
+        .astype(np.int64)
 
 
 def exc_elementary(ins, dpos, dstate):
@@ -165,13 +168,20 @@ def exc_elementary(ins, dpos, dstate):
         spins = _flipped_spins(ins, dpos, dstate)
         if spins.size <= 1:
             return True
+        L = _native.lib()
+        if L is not None:
+            r = L.tnax_elementary(ins.adj_bits, ins.adj_bits.shape[1],
+                                  spins, len(spins))
+            if r >= 0:
+                return bool(r)
         rest = np.bitwise_or.reduce(ins.unit_bits[spins[1:]], axis=0)
         frontier = spins[:1]
         while frontier.size and rest.any():
             nb = np.bitwise_or.reduce(ins.adj_bits[frontier], axis=0)
             new = nb & rest
             rest &= ~new
-            frontier = np.flatnonzero(np.unpackbits(new.view(np.uint8)))
+            frontier = np.flatnonzero(
+                np.unpackbits(new.view(np.uint8), bitorder="little"))
         return not rest.any()
     grp, rest = dpos[:1], dpos[1:]
     while grp.size and rest.size:
@@ -192,18 +202,26 @@ def _shape_masks(ins, e):
     """(spin bitset, adjacency-neighborhood bitset) of a droplet, cached by
     dictionary key. Keys are never reused (`free_d` is monotone), and the
     cache is cleared whenever the adjacency tables are rebuilt."""
-    if isinstance(e, (int, np.integer)):
-        hit = ins._shape_masks.get(e)
+    key = e if isinstance(e, (int, np.integer)) else None
+    if key is not None:
+        hit = ins._shape_masks.get(key)
         if hit is not None:
             return hit
-        spins = _flipped_spins(ins, *ins.d[e])
+    spins = _flipped_spins(ins, *(ins.d[key] if key is not None else e))
+    L = _native.lib()
+    if L is not None:
+        W = ins.unit_bits.shape[1]
+        sm = np.empty(W, np.uint64)
+        nm = np.empty(W, np.uint64)
+        L.tnax_or_rows(ins.unit_bits, W, spins, len(spins), sm)
+        L.tnax_or_rows(ins.adj_bits, W, spins, len(spins), nm)
+        masks = (sm, nm)
+    else:
         masks = (np.bitwise_or.reduce(ins.unit_bits[spins], axis=0),
                  np.bitwise_or.reduce(ins.adj_bits[spins], axis=0))
-        ins._shape_masks[e] = masks
-        return masks
-    spins = _flipped_spins(ins, *e)
-    return (np.bitwise_or.reduce(ins.unit_bits[spins], axis=0),
-            np.bitwise_or.reduce(ins.adj_bits[spins], axis=0))
+    if key is not None:
+        ins._shape_masks[key] = masks
+    return masks
 
 
 def exc_overlap(ins, e1, e2):
@@ -216,6 +234,9 @@ def exc_overlap(ins, e1, e2):
     if ins.mode == "Ising":
         _, nm1 = _shape_masks(ins, e1)
         sm2, _ = _shape_masks(ins, e2)
+        L = _native.lib()
+        if L is not None:
+            return bool(L.tnax_overlap(nm1, sm2, len(nm1)))
         return bool(np.bitwise_and(nm1, sm2).any())
     s1, s2 = _shape_of(ins, e1), _shape_of(ins, e2)
     p1, p2 = s1[0], s2[0]
@@ -237,6 +258,14 @@ def exc_hd_pair(ins, e1, e2):
     """Hamming distance between two droplets (reference `_exc_hd_comp`,
     `tnac4o/tnac4o.py:2152-2196`)."""
     (p1, s1), (p2, s2) = _shape_of(ins, e1), _shape_of(ins, e2)
+    L = _native.lib()
+    if L is not None:
+        f = L.tnax_hd_pair_ising if ins.mode == "Ising" \
+            else L.tnax_hd_pair_rmf
+        return int(f(np.ascontiguousarray(p1, np.int64),
+                     np.ascontiguousarray(s1, np.int64), len(p1),
+                     np.ascontiguousarray(p2, np.int64),
+                     np.ascontiguousarray(s2, np.int64), len(p2)))
     l1, l2 = len(p1), len(p2)
     n1 = n2 = hd = 0
     if ins.mode == "Ising":
@@ -277,6 +306,17 @@ def exc_merge_shapes(ins, e1, e2):
     """XOR-combine two droplets into one sorted shape (reference
     `_exc_merge`, `tnac4o/tnac4o.py:2198-2247`)."""
     (p1, s1), (p2, s2) = _shape_of(ins, e1), _shape_of(ins, e2)
+    L = _native.lib()
+    if L is not None:
+        n1, n2 = len(p1), len(p2)
+        pos = np.empty(n1 + n2, np.int64)
+        st = np.empty(n1 + n2, np.int64)
+        k = L.tnax_merge_shapes(
+            np.ascontiguousarray(p1, np.int64),
+            np.ascontiguousarray(s1, np.int64), n1,
+            np.ascontiguousarray(p2, np.int64),
+            np.ascontiguousarray(s2, np.int64), n2, pos, st)
+        return pos[:k], st[:k]
     pos, st = [], []
     n1 = n2 = 0
     while n1 < len(p1) and n2 < len(p2):
