@@ -91,16 +91,26 @@ def exc_prune_energy(exc, max_dE):
 
 def exc_gc(ins):
     """Garbage-collect unused shapes (reference `_exc_clear_d`,
-    `tnac4o/tnac4o.py:2249-2268`)."""
+    `tnac4o/tnac4o.py:2249-2268`, same per-site cadence).
+
+    Branches share subtree objects (copy-on-append), so the walk memoizes
+    visited nodes by identity — each shared subtree is visited once instead
+    of once per branch."""
     live = set()
+    seen = set()
 
     def walk(tree):
         for exc in tree:
+            if id(exc) in seen:
+                continue
+            seen.add(id(exc))
             live.add(exc[0][1])
             walk(exc[1])
 
     for bel in ins.el:
-        walk(bel)
+        if id(bel) not in seen:
+            seen.add(id(bel))
+            walk(bel)
     nd, ninvd, nkeyl = {}, {}, {}
     for k in live:
         dpos, dstate = ins.d[k]
@@ -134,6 +144,10 @@ def reset_adjacency(ins, J, Nx, Ny, ind):
         eye[np.arange(L), np.arange(L)] = True
         ins.unit_bits = np.packbits(eye, axis=-1, bitorder="little") \
             .view(np.uint64).reshape(L, W)
+        # the same rows as arbitrary-precision ints: the overlap test is a
+        # single Python int AND — by far the cheapest form at ~1e6+ calls
+        ins.adj_ints = [int.from_bytes(ins.adj_bits[i].tobytes(), "little")
+                        for i in range(L)]
         ins.xor2ind = []
         for ny in range(Ny):
             for nx in range(Nx):
@@ -199,26 +213,22 @@ def _shape_of(ins, e):
 
 
 def _shape_masks(ins, e):
-    """(spin bitset, adjacency-neighborhood bitset) of a droplet, cached by
-    dictionary key. Keys are never reused (`free_d` is monotone), and the
-    cache is cleared whenever the adjacency tables are rebuilt."""
+    """(spin bitset, adjacency-neighborhood bitset) of a droplet as Python
+    ints, cached by dictionary key. Keys are never reused (`free_d` is
+    monotone), and the cache is cleared whenever the adjacency tables are
+    rebuilt."""
     key = e if isinstance(e, (int, np.integer)) else None
     if key is not None:
         hit = ins._shape_masks.get(key)
         if hit is not None:
             return hit
     spins = _flipped_spins(ins, *(ins.d[key] if key is not None else e))
-    L = _native.lib()
-    if L is not None:
-        W = ins.unit_bits.shape[1]
-        sm = np.empty(W, np.uint64)
-        nm = np.empty(W, np.uint64)
-        L.tnax_or_rows(ins.unit_bits, W, spins, len(spins), sm)
-        L.tnax_or_rows(ins.adj_bits, W, spins, len(spins), nm)
-        masks = (sm, nm)
-    else:
-        masks = (np.bitwise_or.reduce(ins.unit_bits[spins], axis=0),
-                 np.bitwise_or.reduce(ins.adj_bits[spins], axis=0))
+    sm = nm = 0
+    adj_ints = ins.adj_ints
+    for s in spins.tolist():
+        sm |= 1 << s
+        nm |= adj_ints[s]
+    masks = (sm, nm)
     if key is not None:
         ins._shape_masks[key] = masks
     return masks
@@ -228,16 +238,11 @@ def exc_overlap(ins, e1, e2):
     """Do two droplets interact? (reference `_exc_overlap`,
     `tnac4o/tnac4o.py:2116-2141`).
 
-    Ising fast path: `any(neighborhood(e1) & spins(e2))` on cached uint64
+    Ising fast path: `neighborhood(e1) & spins(e2)` on cached Python-int
     bitsets — equivalent to the reference's `any(adj[i1][:, i2])` because
     the adjacency is symmetric."""
     if ins.mode == "Ising":
-        _, nm1 = _shape_masks(ins, e1)
-        sm2, _ = _shape_masks(ins, e2)
-        L = _native.lib()
-        if L is not None:
-            return bool(L.tnax_overlap(nm1, sm2, len(nm1)))
-        return bool(np.bitwise_and(nm1, sm2).any())
+        return (_shape_masks(ins, e1)[1] & _shape_masks(ins, e2)[0]) != 0
     s1, s2 = _shape_of(ins, e1), _shape_of(ins, e2)
     p1, p2 = s1[0], s2[0]
     x1, y1 = p1 % ins.adj_Nx, p1 // ins.adj_Nx
