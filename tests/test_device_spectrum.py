@@ -52,3 +52,16 @@ def test_device_matches_host_spectrum():
     assert len(dev.energy) == len(host.energy)
     assert np.max(np.abs(np.sort(dev.energy) - np.sort(host.energy))) < 1e-9
     assert dev.degeneracy == host.degeneracy
+
+
+def test_device_spectrum_save_load_decode(tmp_path):
+    """Device-path droplet trees round-trip through the reference .npy
+    artifact format and decode identically after reload."""
+    ins, J = _solve("device", 2)
+    f = str(tmp_path / "sol.npy")
+    ins.save(f)
+    ins.decode_low_energy_states(max_dEng=1.0)
+    re = tnax.load(f)
+    re.decode_low_energy_states(max_dEng=1.0)
+    assert len(re.energy) == len(ins.energy)
+    assert np.max(np.abs(np.sort(re.energy) - np.sort(ins.energy))) < 1e-12
