@@ -65,3 +65,25 @@ def test_device_spectrum_save_load_decode(tmp_path):
     re.decode_low_energy_states(max_dEng=1.0)
     assert len(re.energy) == len(ins.energy)
     assert np.max(np.abs(np.sort(re.energy) - np.sort(ins.energy))) < 1e-12
+
+
+@pytest.mark.parametrize("ee", [1, 2, 3])
+def test_device_spectrum_rmf_golden(ee):
+    """RMF mode through the device-record path: 26 states below dE=3.1 for
+    the minimal 3x5 Potts model (reference `test_examples.py:107-136`)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "examples"))
+    from e05_minimal_rmf import build_model
+    J = build_model()
+    ins = tnax.Solver(mode="RMF", Nx=5, Ny=3, J=J, beta=4)
+    if ee > 1:
+        np.random.seed(0)
+        ins.add_noise(amplitude=1e-7)
+    ins.search_low_energy_spectrum(excitations_encoding=ee, M=1024,
+                                   relative_P_cutoff=1e-12, Dmax=32,
+                                   max_dEng=3.1, path="device")
+    ins.decode_low_energy_states(max_dEng=3.1, max_states=100)
+    assert len(ins.energy) == 26
+    err = np.max(np.abs(tnax.energy_RMF(J, ins.states) - ins.energy))
+    assert err < 1e-4    # add_noise(1e-7) band, reference test_examples.py:134
