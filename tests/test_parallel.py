@@ -151,3 +151,20 @@ def test_merge_candidates_matches_host():
         assert Eng[int(rep[kk])] == pytest.approx(Eng[members].min())
     # invalid candidates never map to a slot
     assert (slot[~valid] == -1).all()
+
+
+def test_device_search_packed_f32_pull():
+    """The single packed result pull (f32 accelerator path) returns the
+    same solution as the direct f64 pulls."""
+    rng = np.random.default_rng(3)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    r64 = parallel.device_search_gs(ContractionContext(ins.problem, beta=2),
+                                    M=64, relative_P_cutoff=1e-12, Dmax=8)
+    ctx32 = ContractionContext(ins.problem, beta=2, dtype=jnp.float32)
+    r32 = parallel.device_search_gs(ctx32, M=64, relative_P_cutoff=1e-12,
+                                    Dmax=8)
+    assert r32["energy"] == pytest.approx(r64["energy"], abs=1e-4)
+    assert (r32["states"] == r64["states"]).all()
+    assert r32["degeneracy"] == r64["degeneracy"]

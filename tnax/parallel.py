@@ -425,6 +425,34 @@ def _padded_energy_rows(ctx):
     return (jnp_.asarray(Es, d), jnp_.asarray(Esl, d), jnp_.asarray(Esu, d))
 
 
+@jax.jit
+def _pack_result(beam, mq):
+    """Final beam payload as ONE int32 array (f32 values bit-cast) — a
+    single device->host pull instead of six (each pull costs ~50 ms over a
+    tunneled accelerator link). Layout: [states(M*L) | Eng-bits(M) |
+    prob-bits(M) | deg(M) | valid(M) | mq-bits(1)]."""
+    return jnp.concatenate([
+        beam["states"].reshape(-1),
+        _f32bits(beam["Eng"]),
+        _f32bits(beam["prob"]),
+        beam["deg"].astype(jnp.int32),
+        beam["valid"].astype(jnp.int32),
+        _f32bits(jnp.reshape(mq, (1,))),
+    ])
+
+
+def _unpack_result(packed, M, L):
+    packed = np.asarray(packed)
+    states = packed[:M * L].reshape(M, L)
+    Eng = packed[M * L:M * L + M].view(np.float32).astype(np.float64)
+    prob = packed[M * L + M:M * L + 2 * M].view(np.float32) \
+        .astype(np.float64)
+    deg = packed[M * L + 2 * M:M * L + 3 * M]
+    valid = packed[M * L + 3 * M:M * L + 4 * M].astype(bool)
+    mq = float(packed[-1:].view(np.float32)[0])
+    return states, Eng, prob, deg, valid, mq
+
+
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                      graduate_truncation=True, fused=True):
@@ -467,10 +495,10 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         grid_in = dict(lB=ctx.lB, drindex=ctx.drindex, Es=EsP, Esl=EslP,
                        Esu=EsuP, dmap=jnp.asarray(ctx.dmap),
                        rmap=jnp.asarray(ctx.rmap), nvalid=nvalid, cols=cols)
-        beam, mq = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt, M=M,
-                                    Nx=Nx, bits=bits, min_dEng=min_dEng,
-                                    log2_cutoff=log2_cutoff)
-        globalmin = min(0.0, float(mq))
+        beam, mq_dev = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt,
+                                        M=M, Nx=Nx, bits=bits,
+                                        min_dEng=min_dEng,
+                                        log2_cutoff=log2_cutoff)
     else:
         mqs = []
         for ny in range(Ny):
@@ -486,13 +514,24 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                        cols=cols[ny])
             beam, mq = step(beam, row)
             mqs.append(mq)  # no host sync inside the row loop
-        globalmin = min(0.0, float(jnp.min(jnp.stack(mqs))))
+        mq_dev = jnp.min(jnp.stack(mqs))
 
-    valid = np.asarray(beam["valid"])
-    Eng = np.asarray(beam["Eng"], dtype=np.float64)[valid]
-    prob = np.asarray(beam["prob"], dtype=np.float64)[valid]
-    deg = np.asarray(beam["deg"])[valid]
-    states = np.asarray(beam["states"])[valid]
+    if ctx.dtype == jnp.float32:
+        # one packed pull (Eng/prob are f32 on device anyway)
+        states, Eng, prob, deg, valid, mq = _unpack_result(
+            _pack_result(beam, mq_dev), M, Nx * Ny)
+        globalmin = min(0.0, mq)
+    else:
+        valid = np.asarray(beam["valid"])
+        Eng = np.asarray(beam["Eng"], dtype=np.float64)
+        prob = np.asarray(beam["prob"], dtype=np.float64)
+        deg = np.asarray(beam["deg"])
+        states = np.asarray(beam["states"])
+        globalmin = min(0.0, float(mq_dev))
+    Eng = Eng[valid]
+    prob = prob[valid]
+    deg = deg[valid]
+    states = states[valid]
     best = int(np.argmin(Eng))
     return dict(energy=Eng[best], states=states[best], prob=prob[best],
                 degeneracy=int(deg[best]),
