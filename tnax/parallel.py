@@ -732,7 +732,14 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
 
 def make_mesh(n_data, n_beam, devices=None):
     devices = np.array(devices if devices is not None else jax.devices())
-    assert devices.size >= n_data * n_beam
+    if devices.size < n_data * n_beam:
+        raise ValueError(
+            f"make_mesh needs {n_data}x{n_beam}={n_data * n_beam} devices "
+            f"but jax.devices() has only {devices.size} "
+            f"({[str(d) for d in devices.ravel()]}); for a virtual CPU mesh "
+            f"set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_data * n_beam} "
+            f"before JAX initializes")
     return Mesh(devices[: n_data * n_beam].reshape(n_data, n_beam),
                 axis_names=("data", "beam"))
 
