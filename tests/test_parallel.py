@@ -21,11 +21,13 @@ def test_device_merge_matches_host():
     valid = np.ones(M, bool)
 
     vindn, rep, degn, probn, *_ = merge_by_vind(vind, Eng, prob, deg, 1e-12)
-    dp, dE, dd, parent, dvalid = parallel.merge_beam(
+    slot, drep, dp, dE, dvalid, disc, dd = parallel.merge_candidates(
         jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
-        jnp.asarray(deg), jnp.asarray(valid), 1e-12, bits=2)
+        jnp.asarray(valid), 1e-12, bits=2, M=M,
+        deg=jnp.asarray(parallel.deg_encode(deg)))
     dvalid = np.asarray(dvalid)
-    got = sorted(zip(np.asarray(dE)[dvalid], np.asarray(dd)[dvalid],
+    dd = parallel.deg_decode(dd)
+    got = sorted(zip(np.asarray(dE)[dvalid], dd[dvalid],
                      np.round(np.asarray(dp)[dvalid], 10)))
     want = sorted(zip(Eng[rep], degn, np.round(probn, 10)))
     assert len(got) == len(want)
@@ -33,6 +35,47 @@ def test_device_merge_matches_host():
         assert g[0] == pytest.approx(w[0])
         assert g[1] == w[1]
         assert g[2] == pytest.approx(w[2])
+
+
+def test_device_degeneracy_beyond_int32():
+    """Multi-limb degeneracy counters sum exactly past 2^31 (measured C16
+    degeneracies reach 1.37e9 and ensembles overflow int32; VERDICT.md
+    weakness 3)."""
+    base = int(1.9e9)                  # near int32 max, per member
+    deg = np.array([base, base, base, 7], dtype=np.int64)
+    vind = np.zeros((4, 2), np.int32)  # all merge into one group
+    Eng = np.zeros(4)
+    prob = np.full(4, -1.0)
+    valid = np.ones(4, bool)
+    slot, rep, dp, dE, dvalid, disc, dd = parallel.merge_candidates(
+        jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
+        jnp.asarray(valid), 1e-12, bits=1, M=4,
+        deg=jnp.asarray(parallel.deg_encode(deg)))
+    total = parallel.deg_decode(dd)[np.asarray(dvalid)]
+    assert total.tolist() == [3 * base + 7]  # 5.7e9 > 2^31
+
+
+def test_merge_before_truncate_semantics():
+    """Members of a surviving group beyond the beam width still contribute
+    degeneracy: the merge runs over the full candidate set BEFORE top-M,
+    matching the reference (tnac4o/tnac4o.py:481-526). A merge-after-top-M
+    implementation (the round-1 device GS path) would report deg=1."""
+    M = 2
+    C = 10
+    # group A: 9 identical-vind members, individually low-prob, all at Emin
+    # group B: 1 high-prob singleton
+    vind = np.r_[np.zeros((C - 1, 2)), np.ones((1, 2))].astype(np.int32)
+    Eng = np.r_[np.zeros(C - 1), [1.0]]
+    prob = np.r_[np.full(C - 1, -10.0), [0.0]]
+    valid = np.ones(C, bool)
+    slot, rep, dp, dE, dvalid, disc, dd = parallel.merge_candidates(
+        jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
+        jnp.asarray(valid), 1e-12, bits=1, M=M,
+        deg=jnp.asarray(parallel.deg_encode(np.ones(C, np.int64))))
+    dd = parallel.deg_decode(dd)
+    dvalid = np.asarray(dvalid)
+    got = sorted(zip(np.asarray(dE)[dvalid], dd[dvalid]))
+    assert got == [(0.0, C - 1), (1.0, 1)]
 
 
 def test_device_search_matches_brute_force():
@@ -123,9 +166,10 @@ def test_merge_candidates_matches_host():
     Eng = np.round(rng.normal(size=Cn), 1)
     prob = rng.normal(size=Cn)
     valid = rng.random(Cn) > 0.1
-    slot, rep, prob_out, Eng_out, out_valid, disc = parallel.merge_candidates(
-        jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
-        jnp.asarray(valid), 1e-12, bits=2, M=M)
+    slot, rep, prob_out, Eng_out, out_valid, disc, _ = \
+        parallel.merge_candidates(
+            jnp.asarray(vind), jnp.asarray(Eng), jnp.asarray(prob),
+            jnp.asarray(valid), 1e-12, bits=2, M=M)
     slot, rep = np.asarray(slot), np.asarray(rep)
     prob_out, Eng_out = np.asarray(prob_out), np.asarray(Eng_out)
     out_valid = np.asarray(out_valid)

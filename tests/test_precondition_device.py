@@ -1,0 +1,79 @@
+"""On-device balancing preconditioner: gebal parity with LAPACK and
+gauge parity with the host sweep (reference `_update_conditioning('ud')`,
+`tnac4o/tnac4o.py:1824-1918`)."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.linalg
+import pytest
+
+import tnax
+from tnax import engine, precondition
+from test_search_small import make_chimera_like
+
+
+def test_gebal_matches_scipy():
+    rng = np.random.default_rng(0)
+    for n in (2, 3, 5, 8, 12):
+        for trial in range(5):
+            A = rng.standard_normal((n, n))
+            # make it badly scaled, like mixed bond environments
+            A *= np.exp2(rng.integers(-20, 20, size=(n, 1)))
+            _, (want, _) = scipy.linalg.matrix_balance(
+                A, permute=False, separate=True)
+            got = np.asarray(precondition.gebal_scale(
+                jnp.asarray(A), jnp.asarray(n), 1e30))
+            assert np.array_equal(got, want), (n, trial)
+
+
+def test_gebal_padding_and_clip():
+    rng = np.random.default_rng(1)
+    n, nd = 8, 5
+    A = rng.standard_normal((n, n)) * np.exp2(
+        rng.integers(-30, 30, size=(n, 1)))
+    got = np.asarray(precondition.gebal_scale(jnp.asarray(A),
+                                              jnp.asarray(nd), 32.0))
+    _, (want, _) = scipy.linalg.matrix_balance(A[:nd, :nd], permute=False,
+                                               separate=True)
+    want = np.clip(want, 1 / 32.0, 32.0)
+    assert np.array_equal(got[:nd], want)
+    assert (got[nd:] == 1.0).all()
+
+
+def test_balance_ud_device_matches_host():
+    rng = np.random.default_rng(7)
+    Nx, Ny, Nc = 3, 4, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    grid = engine.pad_grid(ins.problem)
+    g0 = engine.identity_gauges(grid)
+
+    ov_h, ov_d = [], []
+    Xh = precondition.balance_ud(ins.problem, 1.0, g0, overlaps_out=ov_h)
+    Xd = precondition.balance_ud_device(ins.problem, 1.0, g0,
+                                        overlaps_out=ov_d)
+    for k in Xh:
+        assert np.allclose(Xd[k], Xh[k], rtol=1e-9), k
+    assert np.allclose(ov_d[0], ov_h[0], rtol=1e-6, atol=1e-9)
+
+    # second ladder step on the updated gauges (the real call pattern)
+    Xh2 = precondition.balance_ud(ins.problem, 2.0, Xh)
+    Xd2 = precondition.balance_ud_device(ins.problem, 2.0, Xd)
+    for k in Xh2:
+        assert np.allclose(Xd2[k], Xh2[k], rtol=1e-9), k
+
+
+def test_solver_precondition_device_path_golden():
+    """precondition(path='device') gives the same search result as the
+    host path on a small instance."""
+    rng = np.random.default_rng(11)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    res = {}
+    for path in ("host", "device"):
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        ins.precondition(mode="balancing", path=path)
+        E = ins.search_ground_state(M=64, relative_P_cutoff=1e-12, Dmax=8)
+        res[path] = (E[0], ins.degeneracy)
+    assert res["device"][0] == pytest.approx(res["host"][0], abs=1e-9)
+    assert res["device"][1] == res["host"][1]

@@ -31,7 +31,7 @@ def _row_inputs(ctx, ny, M, Np, lh, lv, dtype):
         states=jnp.zeros((M, Nx * Ny), jnp.int32),
         Eng=jnp.zeros((M,), dtype),
         prob=jnp.full((M,), parallel.NEG, dtype).at[0].set(0.0),
-        deg=jnp.ones((M,), jnp.int32),
+        deg=parallel.deg_ones((M,)),
         valid=jnp.zeros((M,), bool).at[0].set(True),
         aidx=jnp.zeros((M,), jnp.int32))
     return beam, row
@@ -80,7 +80,7 @@ def test_sharded_row_step_matches_unsharded():
         def canon(out, v):
             E = np.asarray(out["Eng"])[v]
             p = np.asarray(out["prob"])[v]
-            d = np.asarray(out["deg"])[v]
+            d = parallel.deg_decode(out["deg"])[v]
             o = np.lexsort((d, np.round(p, 4), np.round(E, 6)))
             return E[o], p[o], d[o]
         Es, ps, ds = canon({k: outB[k][b] for k in outB}, vs)

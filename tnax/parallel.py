@@ -13,15 +13,24 @@ The reference is single-threaded NumPy; parallel scale-out is *new design*
   collectives ride ICI once per site.
 
 `row_step` is the fully device-resident analogue of one row of the
-branch-and-bound search (marginals, cutoff, top-M via `lax.top_k`,
-merge-by-boundary-index via lexicographic sort + segment reductions,
-energy/degeneracy bookkeeping) as one jitted `lax.scan` — the
-throughput-mode alternative to the host-orchestrated
-`tnax.search.search_ground_state`. Two documented deviations from the
-host/reference path: energies accumulate in the compute dtype (f32 on
-TPU), and the beam is truncated to M *before* merging instead of after
-(the reference merges the full post-cutoff candidate set,
-`tnac4o/tnac4o.py:481-526`).
+branch-and-bound search (marginals, cutoff, merge-by-boundary-index via
+lexicographic sort + segment reductions over the expanded candidate set,
+then top-M — the reference's order, `tnac4o/tnac4o.py:481-526`) as one
+jitted `lax.scan` — the throughput-mode alternative to the
+host-orchestrated `tnax.search.search_ground_state`. One documented
+deviation from the host/reference path: energies accumulate in the
+compute dtype (f32 on TPU). The candidate set entering the merge is
+capped at a static size (default ``8*M``, configurable up to the full
+``M*Np`` expansion); searches where more candidates survive the relative
+cutoff raise an ``overflow`` flag in the returned diagnostics so callers
+can retry with a larger cap.
+
+Degeneracy counting on device uses base-2^12 multi-limb int32 arrays
+(:func:`deg_ones` / :func:`deg_decode`): measured chimera degeneracies
+already exceed 2^30 (J124 C16: 1,371,340,800) and ensembles overflow
+int32, while jax's int64 is unavailable with x64 disabled (the TPU
+compute mode). Four limbs give exact counts to 2^48; the host paths use
+plain int64 (`tnax/search.py`).
 """
 
 from __future__ import annotations
@@ -38,6 +47,49 @@ from jax import shard_map
 from . import engine
 
 NEG = -1e30  # effectively -inf log2 probability
+
+# --- multi-limb degeneracy counters (exact beyond int32 without x64) -------
+DEG_LIMBS = 4   # 4 x 12 bits = exact to 2^48
+DEG_BITS = 12
+DEG_MASK = (1 << DEG_BITS) - 1
+
+
+def deg_ones(shape):
+    """All-ones degeneracy counters of batch ``shape`` as int32 limbs."""
+    return jnp.zeros(tuple(shape) + (DEG_LIMBS,), jnp.int32) \
+        .at[..., 0].set(1)
+
+
+def deg_decode(limbs):
+    """Host decode of (..., DEG_LIMBS) int32 limbs to int64 counts."""
+    limbs = np.asarray(limbs).astype(np.int64)
+    shifts = (np.int64(1) << (DEG_BITS * np.arange(DEG_LIMBS,
+                                                   dtype=np.int64)))
+    return (limbs * shifts).sum(axis=-1)
+
+
+def deg_encode(vals):
+    """Host encode of int64 counts into (..., DEG_LIMBS) int32 limbs."""
+    vals = np.asarray(vals, dtype=np.int64)
+    limbs = np.zeros(vals.shape + (DEG_LIMBS,), np.int32)
+    v = vals.copy()
+    for i in range(DEG_LIMBS):
+        limbs[..., i] = v & DEG_MASK
+        v >>= DEG_BITS
+    return limbs
+
+
+def _deg_carry(limbs):
+    """Propagate carries after a limb-wise sum (each limb < 2^31; safe for
+    candidate sets up to 2^(31-DEG_BITS) = 524288 members)."""
+    outs = []
+    carry = jnp.zeros(limbs.shape[:-1], limbs.dtype)
+    for i in range(DEG_LIMBS - 1):
+        s = limbs[..., i] + carry
+        outs.append(s & DEG_MASK)
+        carry = s >> DEG_BITS
+    outs.append(limbs[..., -1] + carry)
+    return jnp.stack(outs, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -58,70 +110,24 @@ def pack_keys(vind, bits):
     return keys
 
 
-def merge_beam(vind, Eng, prob, deg, valid, min_dEng, bits):
-    """Merge branches with identical ``vind`` rows, on device.
-
-    Device analogue of `tnax.search.merge_by_vind` (reference
-    `tnac4o/tnac4o.py:481-515`): lexicographic sort + segment reductions;
-    the minimum-energy member represents each group, degeneracies of
-    members within ``min_dEng`` of the minimum are summed, their
-    log2-probabilities averaged. Invalid branches sort into a trailing
-    group and stay invalid.
-
-    Returns (prob', Eng', deg', parent, valid') where ``parent`` indexes the
-    input arrays (the group representative); callers gather vind/states/RL
-    through it. Output arrays keep padded size M (empty groups invalid).
-    """
-    M = Eng.shape[0]
-    keys = pack_keys(vind, bits) + [jnp.where(valid, 0, 1).astype(jnp.int32)]
-    perm = jnp.lexsort(tuple(reversed(keys)))
-    vs = vind[perm]
-    Es = Eng[perm]
-    ps = prob[perm]
-    ds = deg[perm]
-    vls = valid[perm]
-
-    neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
-    seg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           jnp.cumsum(neq).astype(jnp.int32)])
-    big = jnp.asarray(jnp.finfo(Es.dtype).max, Es.dtype)
-    Emin = jax.ops.segment_min(jnp.where(vls, Es, big), seg, num_segments=M)
-    is_min = (Es == Emin[seg]) & vls
-    pos = jnp.arange(M, dtype=jnp.int32)
-    first_min = jax.ops.segment_min(jnp.where(is_min, pos, M), seg,
-                                    num_segments=M)
-    group_valid = first_min < M
-    rep_sorted = jnp.clip(first_min, 0, M - 1)
-
-    near = ((Es - Emin[seg]) <= min_dEng) & vls
-    deg_sum = jax.ops.segment_sum(jnp.where(near, ds, 0), seg,
-                                  num_segments=M)
-    n_near = jax.ops.segment_sum(near.astype(Es.dtype), seg, num_segments=M)
-    prob_mean = jax.ops.segment_sum(jnp.where(near, ps, 0.0), seg,
-                                    num_segments=M) \
-        / jnp.maximum(n_near, 1)
-
-    parent = perm[rep_sorted]
-    Eng_out = jnp.where(group_valid, Emin, 0.0)
-    prob_out = jnp.where(group_valid, prob_mean, NEG)
-    deg_out = jnp.where(group_valid, deg_sum, 0)
-    return prob_out, Eng_out, deg_out, parent, group_valid
-
-
-def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M):
+def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
     """Merge C expanded candidates by ``vind`` and keep the top-M groups.
 
-    Unlike :func:`merge_beam` (which merges an already-truncated beam), this
-    operates on the full post-cutoff candidate set like the reference
-    (`tnac4o/tnac4o.py:481-526`: cutoff -> merge -> top-M), so losing merge
-    members beyond the beam width still produce droplet records.
+    Device analogue of `tnax.search.merge_by_vind` in the reference's order
+    (`tnac4o/tnac4o.py:481-526`: cutoff -> merge over the full candidate set
+    -> top-M): lexicographic sort + segment reductions; the minimum-energy
+    member represents each group, degeneracies of members within
+    ``min_dEng`` of the minimum are summed, their log2-probabilities
+    averaged. Invalid candidates sort into a trailing group and never join
+    a slot.
 
-    Returns (slot, rep, prob_out, Eng_out, out_valid, disc):
+    Returns (slot, rep, prob_out, Eng_out, out_valid, disc, deg_out):
       slot (C,) i32   output slot [0, M) each candidate merged into, -1 if
                       its group was dropped or the candidate is invalid,
       rep (M,) i32    candidate index of each slot's representative,
       prob_out/Eng_out/out_valid (M,)  the new beam payload,
-      disc            largest group log2-prob discarded by the top-M cut.
+      disc            largest group log2-prob discarded by the top-M cut,
+      deg_out (M, DEG_LIMBS) summed degeneracy limbs (None if ``deg`` is).
     """
     C = Eng.shape[0]
     keys = pack_keys(vind, bits) + [jnp.where(valid, 0, 1).astype(jnp.int32)]
@@ -156,31 +162,54 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M):
     slot = jnp.full((C,), -1, jnp.int32).at[perm].set(slot_sorted)
     Eng_out = jnp.where(out_valid, Emin[gidx], 0.0)
     prob_out = jnp.where(out_valid, gvals, NEG)
-    return slot, rep, prob_out, Eng_out, out_valid, disc
+    deg_out = None
+    if deg is not None:
+        ds = deg[perm]                                   # (C, DEG_LIMBS)
+        deg_seg = jax.ops.segment_sum(
+            jnp.where(near[:, None], ds, 0), seg, num_segments=C)
+        deg_seg = _deg_carry(deg_seg)
+        deg_out = jnp.where(out_valid[:, None], deg_seg[gidx], 0)
+    return slot, rep, prob_out, Eng_out, out_valid, disc, deg_out
 
 
 # ---------------------------------------------------------------------------
 # device-resident row step
 # ---------------------------------------------------------------------------
 
-def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
-             beam_shards=1):
+def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
+             axis=None, beam_shards=1):
     """Process one full lattice row of the beam search on device.
 
     beam: dict with
       RL (M, D), vind (M, Nx+1) i32, states (M, L) i32, Eng (M,),
-      prob (M,), deg (M,) i32, valid (M,) bool, aidx (M,) i32.
+      prob (M,), deg (M, DEG_LIMBS) i32, valid (M,) bool, aidx (M,) i32.
     row: dict with per-row stacked site arrays
       lB (Nx, Np, lh, lv) log-Boltzmann, drindex (Nx, Np) i32, AT (Nx, D, lv, D),
       RRs (Nx, M, D, lh)   (row-start right envs, replicated),
       Es (Nx, Np), Esl (Nx, Np, lh), Esu (Nx, Np, lv)  (raw energies),
       dmap/rmap (Nx, Np) i32, nvalid (Nx,) i32, cols (Nx,) i32 state column.
 
+    Per site: relative cutoff -> merge by ``vind`` over the top-``cand``
+    candidate set -> top-M groups, matching the reference's order
+    (`tnac4o/tnac4o.py:481-526`). ``cand`` defaults to ``min(8*M, M*Np)``;
+    when more candidates survive the cutoff than fit, the returned
+    ``ovf`` diagnostic counts the affected sites.
+
     With ``axis`` set (inside shard_map over the beam axis), each shard
     holds M_local = M/n branches; global cutoff and beam re-formation use
     pmax/all_gather.
+
+    Returns (beam', aux) with aux = dict(mq=min negativeness, pd=largest
+    discarded log2-prob, ovf=#sites whose post-cutoff candidate count
+    exceeded ``cand``).
     """
     Np = row["lB"].shape[1]
+    C_total = min(cand if cand is not None else 8 * M, M * Np)
+    if axis is not None:
+        C_local = min(max(1, C_total // beam_shards), (M // beam_shards) * Np)
+        C_total = C_local * beam_shards
+    else:
+        C_local = C_total
 
     def site(carry, xs):
         RL, vind, states, Eng, prob, deg, valid, aidx = carry
@@ -201,42 +230,59 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
         if axis is not None:
             pmax = lax.pmax(pmax, axis)
         cutoff = pmax + log2_cutoff
-
-        # local top-M candidates
-        k = min(M, probf.shape[0])
-        vals, idx = lax.top_k(probf, k)
-        src, indc = idx // Np, (idx % Np).astype(jnp.int32)
-        cand = dict(
-            prob=vals, vind=vind[src], deg=deg[src], states=states[src],
-            Eng=Eng[src], aidx=aidx[src], RL=RL[src], indc=indc,
-            valid=valid[src] & (vals > cutoff) & (vals > NEG / 2),
-        )
+        count = jnp.sum(probf > cutoff)
         if axis is not None:
-            # replicate all candidates, keep the global top-M
-            cand = {kk: lax.all_gather(vv, axis, tiled=True)
-                    for kk, vv in cand.items()}
-            _, gidx = lax.top_k(cand["prob"], M)
-            cand = {kk: vv[gidx] for kk, vv in cand.items()}
+            count = lax.psum(count, axis)
+
+        # local top-cand candidates (+1 to observe the first casualty of
+        # the cap for the pd diagnostic)
+        k = min(C_local + 1, Ml * Np)
+        vals, idx = lax.top_k(probf, k)
+        disc_cap = jnp.asarray(NEG, vals.dtype)
+        if C_local < Ml * Np:
+            disc_cap = jnp.where(count > C_local, vals[min(C_local, k - 1)],
+                                 disc_cap)
+        vals_c, idx_c = vals[:C_local], idx[:C_local]
+        src = (idx_c // Np).astype(jnp.int32)
+        indc = (idx_c % Np).astype(jnp.int32)
+        cvalid = valid[src] & (vals_c > cutoff) & (vals_c > NEG / 2)
         # the best branch always survives, even below cutoff
         # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
-        cand["valid"] = cand["valid"].at[0].set(cand["prob"][0] > NEG / 2)
+        cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
 
-        # bookkeeping on the (replicated) M candidates
-        vind_n, states_n, ic = cand["vind"], cand["states"], cand["indc"]
+        rowsC = jnp.arange(C_local)
+        E_cand = Eng[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
+            + Esu_t[indc, vind[src, nx + 1]]
+        vind_c = vind[src]
+        vind_c = vind_c.at[rowsC, nx].set(dmap[indc])
+        vind_c = vind_c.at[rowsC, nx + 1].set(rmap[indc])
+
         rows_ = jnp.arange(M)
-        Eng_n = cand["Eng"] + Es_t[ic] + Esl_t[ic, vind_n[:, nx]] \
-            + Esu_t[ic, vind_n[:, nx + 1]]
-        states_n = states_n.at[rows_, col].set(ic)
-        vind_n = vind_n.at[rows_, nx].set(dmap[ic])
-        vind_n = vind_n.at[rows_, nx + 1].set(rmap[ic])
-
-        probm, Engm, degm, parent, validm = merge_beam(
-            vind_n, Eng_n, cand["prob"], cand["deg"], cand["valid"],
-            min_dEng, bits)
-        vind_m = vind_n[parent]
-        states_m = states_n[parent]
-        aidx_m = cand["aidx"][parent]
-        RL_m = cand["RL"][parent]
+        if axis is None:
+            slot, rep, prob_out, Eng_out, out_valid, disc_m, deg_out = \
+                merge_candidates(vind_c, E_cand, vals_c, cvalid, min_dEng,
+                                 bits, M, deg=deg[src])
+            bsrc = src[rep]
+            vind_m = vind_c[rep]
+            states_m = states[bsrc].at[rows_, col].set(indc[rep])
+            aidx_m = aidx[bsrc]
+            RL_m = RL[bsrc]
+        else:
+            payload = dict(
+                prob=vals_c, E=E_cand, vind=vind_c, deg=deg[src],
+                valid=cvalid, aidx=aidx[src], RL=RL[src],
+                states=states[src].at[rowsC, col].set(indc))
+            payload = {kk: lax.all_gather(vv, axis, tiled=True)
+                       for kk, vv in payload.items()}
+            slot, rep, prob_out, Eng_out, out_valid, disc_m, deg_out = \
+                merge_candidates(payload["vind"], payload["E"],
+                                 payload["prob"], payload["valid"],
+                                 min_dEng, bits, M, deg=payload["deg"])
+            vind_m = payload["vind"][rep]
+            states_m = payload["states"][rep]
+            aidx_m = payload["aidx"][rep]
+            RL_m = payload["RL"][rep]
+        Engm, probm, degm, validm = Eng_out, prob_out, deg_out, out_valid
         didx = vind_m[:, nx]
 
         if axis is not None:
@@ -255,28 +301,36 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, axis=None,
         # negativeness flag only from live branches — padded slots carry
         # junk environments whose marginals would pollute the diagnostic
         mq = jnp.min(jnp.where(valid, mPn, 0.0))
+        pd = jnp.maximum(disc_cap, disc_m)
+        ovf = count > C_total
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
-                aidx_m), mq
+                aidx_m), (mq, pd, ovf)
 
     xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
           row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
           row["rmap"], row["nvalid"], row["cols"])
     carry = (beam["RL"], beam["vind"], beam["states"], beam["Eng"],
              beam["prob"], beam["deg"], beam["valid"], beam["aidx"])
-    carry, mPns = lax.scan(site, carry, xs)
+    carry, (mPns, pds, ovfs) = lax.scan(site, carry, xs)
     RL, vind, states, Eng, prob, deg, valid, aidx = carry
     # shift vind for the next row (reference tnac4o/tnac4o.py:540-542)
     vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
                            axis=1)
     out = dict(RL=RL, vind=vind, states=states, Eng=Eng, prob=prob, deg=deg,
                valid=valid, aidx=aidx)
-    return out, jnp.min(mPns)
+    mq, pd = jnp.min(mPns), jnp.max(pds)
+    if axis is not None:
+        # marginals/cap diagnostics are per-shard; reduce across the beam
+        mq = lax.pmin(mq, axis)
+        pd = lax.pmax(pd, axis)
+    aux = dict(mq=mq, pd=pd, ovf=jnp.sum(ovfs.astype(jnp.int32)))
+    return out, aux
 
 
 @partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
-                                   "log2_cutoff"))
+                                   "log2_cutoff", "cand"))
 def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
-                     log2_cutoff):
+                     log2_cutoff, cand=None):
     """The ENTIRE ground-state search as one jitted program: lax.scan over
     lattice rows, each row computing its right environments and running
     :func:`row_step`'s site scan. One device dispatch per search.
@@ -284,6 +338,8 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
     grid_in: dict of (Ny, ...) stacked per-row arrays (lB, drindex, Es,
     Esl, Esu, dmap, rmap, nvalid, cols). rhoT (Ny+1, Nx, D, lv, D),
     Wt (Ny, Nx, lh, lv, lh, lv).
+
+    Returns (beam, aux) with aux = dict(mq, pd, ovf) reduced over rows.
     """
     D = rhoT.shape[2]
     dtype = rhoT.dtype
@@ -296,12 +352,15 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
         RRs = engine.row_right_envs(AT_row, Wt_row,
                                     beam["vind"][:, 1:])
         row = dict(row_tabs, AT=AT_row, RRs=RRs)
-        beam, mq = row_step(beam, row, M=M, Nx=Nx, bits=bits,
-                            min_dEng=min_dEng, log2_cutoff=log2_cutoff)
-        return beam, mq
+        beam, aux = row_step(beam, row, M=M, Nx=Nx, bits=bits,
+                             min_dEng=min_dEng, log2_cutoff=log2_cutoff,
+                             cand=cand)
+        return beam, aux
 
-    beam, mqs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
-    return beam, jnp.min(mqs)
+    beam, auxs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
+    aux = dict(mq=jnp.min(auxs["mq"]), pd=jnp.max(auxs["pd"]),
+               ovf=jnp.sum(auxs["ovf"]))
+    return beam, aux
 
 
 def _f32bits(x):
@@ -373,8 +432,9 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
         vind_cand = vind_cand.at[rows_, nx].set(dmap[indc])
         vind_cand = vind_cand.at[rows_, nx + 1].set(rmap[indc])
 
-        slot, rep, prob_out, Eng_out, out_valid, disc_m = merge_candidates(
-            vind_cand, E_cand, vals_c, cvalid, min_dEng, bits, M)
+        slot, rep, prob_out, Eng_out, out_valid, disc_m, _ = \
+            merge_candidates(vind_cand, E_cand, vals_c, cvalid, min_dEng,
+                             bits, M)
 
         vind_new = vind_cand[rep]
         RL_new = engine.rl_update(RL[src[rep]], AT, vind_new[:, nx])
@@ -426,36 +486,43 @@ def _padded_energy_rows(ctx):
 
 
 @jax.jit
-def _pack_result(beam, mq):
+def _pack_result(beam, aux):
     """Final beam payload as ONE int32 array (f32 values bit-cast) — a
     single device->host pull instead of six (each pull costs ~50 ms over a
     tunneled accelerator link). Layout: [states(M*L) | Eng-bits(M) |
-    prob-bits(M) | deg(M) | valid(M) | mq-bits(1)]."""
+    prob-bits(M) | deg-limbs(M*DEG_LIMBS) | valid(M) |
+    mq-bits, pd-bits, ovf (3)]."""
     return jnp.concatenate([
         beam["states"].reshape(-1),
         _f32bits(beam["Eng"]),
         _f32bits(beam["prob"]),
-        beam["deg"].astype(jnp.int32),
+        beam["deg"].astype(jnp.int32).reshape(-1),
         beam["valid"].astype(jnp.int32),
-        _f32bits(jnp.reshape(mq, (1,))),
+        _f32bits(jnp.reshape(aux["mq"], (1,))),
+        _f32bits(jnp.reshape(aux["pd"], (1,))),
+        jnp.reshape(aux["ovf"], (1,)).astype(jnp.int32),
     ])
 
 
 def _unpack_result(packed, M, L):
     packed = np.asarray(packed)
     states = packed[:M * L].reshape(M, L)
-    Eng = packed[M * L:M * L + M].view(np.float32).astype(np.float64)
-    prob = packed[M * L + M:M * L + 2 * M].view(np.float32) \
-        .astype(np.float64)
-    deg = packed[M * L + 2 * M:M * L + 3 * M]
-    valid = packed[M * L + 3 * M:M * L + 4 * M].astype(bool)
-    mq = float(packed[-1:].view(np.float32)[0])
-    return states, Eng, prob, deg, valid, mq
+    o = M * L
+    Eng = packed[o:o + M].view(np.float32).astype(np.float64)
+    prob = packed[o + M:o + 2 * M].view(np.float32).astype(np.float64)
+    deg = deg_decode(
+        packed[o + 2 * M:o + (2 + DEG_LIMBS) * M].reshape(M, DEG_LIMBS))
+    valid = packed[o + (2 + DEG_LIMBS) * M:
+                   o + (3 + DEG_LIMBS) * M].astype(bool)
+    mq = float(packed[-3:-2].view(np.float32)[0])
+    pd = float(packed[-2:-1].view(np.float32)[0])
+    ovf = int(packed[-1])
+    return states, Eng, prob, deg, valid, mq, pd, ovf
 
 
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                     graduate_truncation=True, fused=True):
+                     graduate_truncation=True, fused=True, cand_factor=8):
     """Fully device-resident ground-state search (throughput mode).
 
     Single-chip driver around :func:`row_step`: the beam never leaves the
@@ -463,7 +530,14 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     compute dtype — use `tnax.search.search_ground_state` when 1e-12 energy
     ties must be resolved exactly.
 
-    Returns dict(energy, states, prob, degeneracy, negative_probability).
+    ``cand_factor`` sizes the per-site merge candidate set at
+    ``cand_factor*M`` (None = the full ``M*Np`` expansion, exact reference
+    semantics at higher sort cost). The result's ``merge_overflow`` counts
+    sites where the post-cutoff candidate count exceeded the cap (0 means
+    the merge was exact).
+
+    Returns dict(energy, states, prob, degeneracy, negative_probability,
+    discarded_probability, merge_overflow).
     """
     if ctx.rhoT is None or ctx.Dmax != Dmax:
         ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
@@ -473,13 +547,15 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
     log2_cutoff = float(np.log2(relative_P_cutoff)) \
         if relative_P_cutoff > 0 else NEG
+    cand = None if cand_factor is None else int(cand_factor) * M
     EsP, EslP, EsuP = _padded_energy_rows(ctx)
     nvalid = jnp.asarray(ctx.nstates, jnp.int32)
     cols = (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
             + jnp.arange(Nx, dtype=jnp.int32)[None, :])
 
     step = jax.jit(partial(row_step, M=M, Nx=Nx, bits=bits,
-                           min_dEng=min_dEng, log2_cutoff=log2_cutoff))
+                           min_dEng=min_dEng, log2_cutoff=log2_cutoff,
+                           cand=cand))
 
     beam = dict(
         RL=jnp.zeros((M, D), dtype).at[:, 0].set(1.0),
@@ -487,7 +563,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         states=jnp.zeros((M, Nx * Ny), jnp.int32),
         Eng=jnp.zeros((M,), dtype),
         prob=jnp.full((M,), NEG, dtype).at[0].set(0.0),
-        deg=jnp.ones((M,), jnp.int32),
+        deg=deg_ones((M,)),
         valid=jnp.zeros((M,), bool).at[0].set(True),
         aidx=jnp.arange(M, dtype=jnp.int32),
     )
@@ -495,12 +571,12 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         grid_in = dict(lB=ctx.lB, drindex=ctx.drindex, Es=EsP, Esl=EslP,
                        Esu=EsuP, dmap=jnp.asarray(ctx.dmap),
                        rmap=jnp.asarray(ctx.rmap), nvalid=nvalid, cols=cols)
-        beam, mq_dev = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt,
-                                        M=M, Nx=Nx, bits=bits,
-                                        min_dEng=min_dEng,
-                                        log2_cutoff=log2_cutoff)
+        beam, aux_dev = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt,
+                                         M=M, Nx=Nx, bits=bits,
+                                         min_dEng=min_dEng,
+                                         log2_cutoff=log2_cutoff, cand=cand)
     else:
-        mqs = []
+        auxs = []
         for ny in range(Ny):
             beam["aidx"] = jnp.arange(M, dtype=jnp.int32)
             beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
@@ -512,22 +588,26 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                        dmap=jnp.asarray(ctx.dmap[ny]),
                        rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny],
                        cols=cols[ny])
-            beam, mq = step(beam, row)
-            mqs.append(mq)  # no host sync inside the row loop
-        mq_dev = jnp.min(jnp.stack(mqs))
+            beam, aux = step(beam, row)
+            auxs.append(aux)  # no host sync inside the row loop
+        aux_dev = dict(mq=jnp.min(jnp.stack([a["mq"] for a in auxs])),
+                       pd=jnp.max(jnp.stack([a["pd"] for a in auxs])),
+                       ovf=jnp.sum(jnp.stack([a["ovf"] for a in auxs])))
 
     if ctx.dtype == jnp.float32:
         # one packed pull (Eng/prob are f32 on device anyway)
-        states, Eng, prob, deg, valid, mq = _unpack_result(
-            _pack_result(beam, mq_dev), M, Nx * Ny)
+        states, Eng, prob, deg, valid, mq, pd, ovf = _unpack_result(
+            _pack_result(beam, aux_dev), M, Nx * Ny)
         globalmin = min(0.0, mq)
     else:
         valid = np.asarray(beam["valid"])
         Eng = np.asarray(beam["Eng"], dtype=np.float64)
         prob = np.asarray(beam["prob"], dtype=np.float64)
-        deg = np.asarray(beam["deg"])
+        deg = deg_decode(beam["deg"])
         states = np.asarray(beam["states"])
-        globalmin = min(0.0, float(mq_dev))
+        globalmin = min(0.0, float(aux_dev["mq"]))
+        pd = float(aux_dev["pd"])
+        ovf = int(aux_dev["ovf"])
     Eng = Eng[valid]
     prob = prob[valid]
     deg = deg[valid]
@@ -535,7 +615,8 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     best = int(np.argmin(Eng))
     return dict(energy=Eng[best], states=states[best], prob=prob[best],
                 degeneracy=int(deg[best]),
-                negative_probability=min(globalmin, 0.0))
+                negative_probability=min(globalmin, 0.0),
+                discarded_probability=pd, merge_overflow=ovf)
 
 
 def exact_energies(ctx, states):
@@ -627,7 +708,7 @@ def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
 
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                    graduate_truncation=True, mesh=None):
+                    graduate_truncation=True, mesh=None, cand_factor=8):
     """Batched device-resident GS search over same-shape instances.
 
     The production fleet mode (BASELINE.md: 100 droplet instances x 4
@@ -651,6 +732,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
     log2_cutoff = float(np.log2(relative_P_cutoff)) \
         if relative_P_cutoff > 0 else NEG
+    cand = None if cand_factor is None else int(cand_factor) * M
 
     Wt = jnp.stack([c.Wt for c in ctxs])          # (B, Ny, Nx, ...)
     lB = jnp.stack([c.lB for c in ctxs])
@@ -678,7 +760,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     rhoT, _, _, _ = jax.jit(build)(Wt)            # (B, Ny+1, Nx, D, lv, D)
 
     step1 = partial(row_step, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
-                    log2_cutoff=log2_cutoff)
+                    log2_cutoff=log2_cutoff, cand=cand)
     stepB = jax.jit(jax.vmap(step1))
     envsB = jax.jit(jax.vmap(engine.row_right_envs))
 
@@ -688,13 +770,13 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         states=jnp.zeros((B, M, Nx * Ny), jnp.int32),
         Eng=jnp.zeros((B, M), dtype),
         prob=jnp.full((B, M), NEG, dtype).at[:, 0].set(0.0),
-        deg=jnp.ones((B, M), jnp.int32),
+        deg=deg_ones((B, M)),
         valid=jnp.zeros((B, M), bool).at[:, 0].set(True),
         aidx=jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M)),
     )
     if shard is not None:
         beam = {k: jax.device_put(v, shard) for k, v in beam.items()}
-    mqs = []
+    auxs = []
     for ny in range(Ny):
         beam["aidx"] = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[None], (B, M))
@@ -706,23 +788,29 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                    dmap=jnp.stack([jnp.asarray(c.dmap[ny]) for c in ctxs]),
                    rmap=jnp.stack([jnp.asarray(c.rmap[ny]) for c in ctxs]),
                    nvalid=nvalid[:, ny], cols=cols[:, ny])
-        beam, mq = stepB(beam, row)
-        mqs.append(mq)  # no host sync inside the row loop
+        beam, aux = stepB(beam, row)
+        auxs.append(aux)  # no host sync inside the row loop
 
-    globalmin = np.minimum(np.asarray(jnp.min(jnp.stack(mqs), axis=0),
-                                      dtype=np.float64), 0.0)
+    globalmin = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
+    pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
+                    dtype=np.float64)
+    ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
     out = []
     valid = np.asarray(beam["valid"])
     Eng = np.asarray(beam["Eng"], dtype=np.float64)
     prob = np.asarray(beam["prob"], dtype=np.float64)
-    deg = np.asarray(beam["deg"])
+    deg = deg_decode(beam["deg"])
     states = np.asarray(beam["states"])
     for b in range(B):
         v = valid[b]
         best = int(np.argmin(np.where(v, Eng[b], np.inf)))
         out.append(dict(energy=Eng[b, best], states=states[b, best],
                         prob=prob[b, best], degeneracy=int(deg[b, best]),
-                        negative_probability=float(globalmin[b])))
+                        negative_probability=float(globalmin[b]),
+                        discarded_probability=float(pd[b]),
+                        merge_overflow=int(ovf[b])))
     return out
 
 
@@ -744,7 +832,7 @@ def make_mesh(n_data, n_beam, devices=None):
                 axis_names=("data", "beam"))
 
 
-def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff):
+def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):
     """jit-compiled row step over a ('data','beam') mesh.
 
     Beam state arrays carry a leading instance axis sharded over 'data' and
@@ -760,17 +848,18 @@ def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff):
                      RRs=P("data"), Es=P("data"), Esl=P("data"),
                      Esu=P("data"), dmap=P("data"), rmap=P("data"),
                      nvalid=P("data"), cols=P("data"))
+    aux_specs = dict(mq=P("data"), pd=P("data"), ovf=P("data"))
 
     def one_instance(beam, row):
         return row_step(beam, row, M=M, Nx=Nx, bits=bits,
                         min_dEng=min_dEng, log2_cutoff=log2_cutoff,
-                        axis="beam", beam_shards=n_beam)
+                        cand=cand, axis="beam", beam_shards=n_beam)
 
     @partial(shard_map, mesh=mesh, in_specs=(beam_specs, row_specs),
-             out_specs=(beam_specs, P("data")), check_vma=False)
+             out_specs=(beam_specs, aux_specs), check_vma=False)
     def step(beam, row):
         # strip the per-shard instance axis (size B/n_data) via vmap
-        out, mq = jax.vmap(one_instance)(beam, row)
-        return out, mq
+        out, aux = jax.vmap(one_instance)(beam, row)
+        return out, aux
 
     return jax.jit(step)

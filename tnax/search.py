@@ -230,6 +230,10 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
     results (SURVEY.md section 5.4).
     """
     t_total = time.time()
+    if checkpoint_path and not str(checkpoint_path).endswith(".npz"):
+        # np.savez appends '.npz' silently; normalize once so resume loads
+        # the same file that was written
+        checkpoint_path = str(checkpoint_path) + ".npz"
     logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
     ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
     logger.info("Elapsed: %.2f s", time.time() - t_total)

@@ -112,15 +112,21 @@ class Solver:
     def precondition(self, mode="balancing", steps=2, beta_cond=None,
                      Dmax_cond=None, max_scale=1024,
                      graduate_truncation=False, tolS=1e-16, tolV=1e-10,
-                     max_sweeps=20, directions=("ud",)):
+                     max_sweeps=20, directions=("ud",), path=None):
         """Balancing preconditioner (reference `tnac4o/tnac4o.py:342-379`).
 
         ``directions`` may include 'ud' and/or 'lr'; the reference runs only
         'ud' (its 'lr' call is commented out, `tnac4o/tnac4o.py:374-377`).
+        ``path`` selects the 'ud' sweep implementation: 'device' (one jitted
+        program over all interfaces — default on accelerators) or 'host'
+        (NumPy sweeps, default on CPU); 'lr' always runs on host.
         """
+        import jax as _jax
         from . import precondition as _pre
         if mode != "balancing":
             raise ValueError("only mode='balancing' is implemented")
+        if path is None:
+            path = "host" if _jax.default_backend() == "cpu" else "device"
         if not beta_cond:
             beta_cond = [self.beta * 2.0 ** (nn - steps) for nn in range(steps)]
         if not Dmax_cond:
@@ -129,7 +135,8 @@ class Solver:
             from . import engine as _engine
             grid = _engine.pad_grid(self.problem)
             self._gauges = _engine.identity_gauges(grid)
-        sweeps = {"ud": _pre.balance_ud, "lr": _pre.balance_lr}
+        ud = _pre.balance_ud_device if path == "device" else _pre.balance_ud
+        sweeps = {"ud": ud, "lr": _pre.balance_lr}
         overlaps = []
         for beta, D in zip(beta_cond, Dmax_cond):
             self.logger.info("Preconditioning with beta = %.2f", beta)
@@ -171,7 +178,7 @@ class Solver:
             self.probability = np.array([r["prob"]])
             self.degeneracy = r["degeneracy"]
             self.states = states[:, self.order]
-            self.discarded_probability = 0.0
+            self.discarded_probability = r["discarded_probability"]
             self.negative_probability = r["negative_probability"]
             return self.energy
         res = _search.search_ground_state(
@@ -347,7 +354,14 @@ def _decode_from_ind0(states, ind0, L):
 
 def load(file_name):
     """Load a result saved by :meth:`Solver.save` (or by the reference's
-    `save`) — reference `load` (`tnac4o/tnac4o.py:31-75`)."""
+    `save`) — reference `load` (`tnac4o/tnac4o.py:31-75`).
+
+    .. warning::
+        The on-disk format is a pickled dict inside ``.npy`` (required for
+        byte-compatibility with files written by the reference), and
+        unpickling executes arbitrary code — only load result files from a
+        trusted source.
+    """
     d = np.load(file_name, allow_pickle=True).item()
     ins = Solver(mode=d["mode"], Nx=d["Nx"], Ny=d["Ny"], Nc=d["Nc"],
                  beta=d["beta"])
