@@ -87,3 +87,28 @@ def test_device_spectrum_rmf_golden(ee):
     assert len(ins.energy) == 26
     err = np.max(np.abs(tnax.energy_RMF(J, ins.states) - ins.energy))
     assert err < 1e-4    # add_noise(1e-7) band, reference test_examples.py:134
+
+
+def test_cap_overflow_flag_and_auto_grow():
+    """A deliberately tiny candidate cap trips merge_overflow; auto_grow
+    re-runs with a sufficient cap and yields the complete droplet tree
+    (same decoded spectrum as an uncapped run)."""
+    J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(CH128)), 1 / 75)
+
+    def run(auto_grow, cand_factor):
+        ins = tnax.Solver(mode="Ising", Nx=4, Ny=4, Nc=8, J=J, beta=3)
+        ins.search_low_energy_spectrum(
+            excitations_encoding=1, M=64, relative_P_cutoff=1e-8, Dmax=16,
+            max_dEng=1.0, path="device", cand_factor=cand_factor,
+            auto_grow=auto_grow)
+        ins.decode_low_energy_states(max_dEng=1.0)
+        return ins, ins.energy
+
+    capped, _ = run(auto_grow=False, cand_factor=1)
+    assert capped.merge_overflow > 0         # flag surfaced, not just logged
+
+    grown, Eg = run(auto_grow=True, cand_factor=1)
+    assert grown.merge_overflow == 0
+    full, Ef = run(auto_grow=False, cand_factor=None or 512)
+    assert len(Eg) == len(Ef)
+    assert np.allclose(np.sort(Eg), np.sort(Ef), atol=1e-9)

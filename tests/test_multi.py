@@ -1,6 +1,7 @@
-"""Batched multi-instance device search."""
+"""Batched multi-instance device search (single-chip vmap and mesh modes)."""
 
 import numpy as np
+import jax
 import pytest
 
 import tnax
@@ -9,15 +10,55 @@ from tnax.search import ContractionContext
 from test_search_small import make_chimera_like, brute_force_min
 
 
-def test_multi_search_matches_single():
-    rng = np.random.default_rng(7)
+def _instances(n, Nx=2, Ny=2, Nc=2, beta=2.0):
     ctxs, mins = [], []
-    for s in range(3):
-        J = make_chimera_like(np.random.default_rng(s), 2, 2, 2)
-        ins = tnax.Solver(mode="Ising", Nx=2, Ny=2, Nc=2, beta=2, J=J)
-        ctxs.append(ContractionContext(ins.problem, 2.0))
-        mins.append(brute_force_min(J, 8)[0])
+    for s in range(n):
+        J = make_chimera_like(np.random.default_rng(s), Nx, Ny, Nc)
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=beta, J=J)
+        ctxs.append(ContractionContext(ins.problem, beta))
+        mins.append(brute_force_min(J, Nx * Ny * Nc)[0])
+    return ctxs, mins
+
+
+def test_multi_search_matches_single():
+    ctxs, mins = _instances(3)
     res = parallel.multi_search_gs(ctxs, M=64, relative_P_cutoff=1e-12,
                                    Dmax=8)
     for r, emin in zip(res, mins):
         assert r["energy"] == pytest.approx(emin, abs=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multi_search_with_mesh():
+    """multi_search_gs with an actual ('data','beam') mesh — instances
+    sharded across the data axis (VERDICT.md weakness 6)."""
+    mesh = parallel.make_mesh(8, 1)
+    ctxs, mins = _instances(8)
+    res = parallel.multi_search_gs(ctxs, M=64, relative_P_cutoff=1e-12,
+                                   Dmax=8, mesh=mesh)
+    for r, emin in zip(res, mins):
+        assert r["energy"] == pytest.approx(emin, abs=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_search_end_to_end():
+    """Full multi-chip search (boundary stacks + every row + final gather)
+    on a (2, 4) data x beam mesh matches the single-chip device search,
+    including degeneracy counts."""
+    mesh = parallel.make_mesh(2, 4)
+    ctxs, _ = _instances(2, Nx=3, Ny=3, Nc=2, beta=1.5)
+    # degenerate couplings to exercise merge/degeneracy across shards
+    ctxs2 = []
+    for s in range(2):
+        J = make_chimera_like(np.random.default_rng(s), 3, 3, 2, field=False)
+        J = [j for j in tnax.round_Jij(J, 1.0) if j[2] != 0]
+        ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=2, beta=1.5, J=J)
+        ctxs2.append(ContractionContext(ins.problem, 1.5))
+    res_sh = parallel.sharded_search_gs(ctxs2, mesh, M=64,
+                                        relative_P_cutoff=1e-12, Dmax=8)
+    for c, r in zip(ctxs2, res_sh):
+        single = parallel.device_search_gs(c, M=64,
+                                           relative_P_cutoff=1e-12, Dmax=8)
+        assert r["energy"] == pytest.approx(single["energy"], abs=1e-9)
+        assert r["degeneracy"] == single["degeneracy"]
+        assert (r["states"] == single["states"]).all()

@@ -832,6 +832,121 @@ def make_mesh(n_data, n_beam, devices=None):
                 axis_names=("data", "beam"))
 
 
+def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
+                      min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
+                      max_sweeps=20, graduate_truncation=True,
+                      cand_factor=8):
+    """End-to-end multi-chip ground-state search over a ('data','beam')
+    mesh: boundary-MPS stacks and row environments shard over instances
+    ('data'); within each instance the beam's marginal evaluation shards
+    over branches ('beam') with pmax/all_gather collectives per site
+    (:func:`sharded_row_step`). New design — the reference has no
+    parallelism (SURVEY.md section 2.9).
+
+    len(ctxs) must be a multiple of mesh.shape['data']; M a multiple of
+    mesh.shape['beam']. Returns a list of result dicts (same schema as
+    :func:`device_search_gs`).
+    """
+    assert ctxs, "need at least one context"
+    n_data, n_beam = mesh.shape["data"], mesh.shape["beam"]
+    B = len(ctxs)
+    if B % n_data:
+        raise ValueError(f"{B} instances do not tile the data axis "
+                         f"({n_data} shards)")
+    if M % n_beam:
+        raise ValueError(f"M={M} does not tile the beam axis ({n_beam})")
+    c0 = ctxs[0]
+    for c in ctxs:
+        assert (c.Ny, c.Nx, c.Np, c.lh, c.lv) == \
+            (c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv), "instances must share shapes"
+    Ny, Nx, Np, lh, lv = c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv
+    dtype = c0.dtype
+    D = Dmax
+    bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else NEG
+    cand = None if cand_factor is None else int(cand_factor) * M
+
+    data_sh = NamedSharding(mesh, P("data"))
+    beam_sh = NamedSharding(mesh, P("data", "beam"))
+
+    Wt = jax.device_put(jnp.stack([c.Wt for c in ctxs]), data_sh)
+    lB = jax.device_put(jnp.stack([c.lB for c in ctxs]), data_sh)
+    drindex = jax.device_put(jnp.stack([c.drindex for c in ctxs]), data_sh)
+    eng_rows = [_padded_energy_rows(c) for c in ctxs]
+    EsP = jax.device_put(jnp.stack([e[0] for e in eng_rows]), data_sh)
+    EslP = jax.device_put(jnp.stack([e[1] for e in eng_rows]), data_sh)
+    EsuP = jax.device_put(jnp.stack([e[2] for e in eng_rows]), data_sh)
+    dmap = jax.device_put(
+        jnp.stack([jnp.asarray(c.dmap) for c in ctxs]), data_sh)
+    rmap = jax.device_put(
+        jnp.stack([jnp.asarray(c.rmap) for c in ctxs]), data_sh)
+    nvalid = jax.device_put(
+        jnp.stack([jnp.asarray(c.nstates, jnp.int32) for c in ctxs]),
+        data_sh)
+    cols = jax.device_put(jnp.broadcast_to(
+        (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+         + jnp.arange(Nx, dtype=jnp.int32)[None, :])[None], (B, Ny, Nx)),
+        data_sh)
+
+    build = jax.vmap(lambda w: engine.build_rhoT(
+        w, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation))
+    rhoT, _, _, _ = jax.jit(build, out_shardings=data_sh)(Wt)
+
+    envsB = jax.jit(jax.vmap(engine.row_right_envs),
+                    out_shardings=data_sh)
+    step = sharded_row_step(mesh, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+                            log2_cutoff=log2_cutoff, cand=cand)
+
+    beam = dict(
+        RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
+        vind=jnp.zeros((B, M, Nx + 1), jnp.int32),
+        states=jnp.zeros((B, M, Nx * Ny), jnp.int32),
+        Eng=jnp.zeros((B, M), dtype),
+        prob=jnp.full((B, M), NEG, dtype).at[:, 0].set(0.0),
+        deg=deg_ones((B, M)),
+        valid=jnp.zeros((B, M), bool).at[:, 0].set(True),
+        aidx=jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M)),
+    )
+    beam = {k: jax.device_put(v, beam_sh) for k, v in beam.items()}
+    auxs = []
+    for ny in range(Ny):
+        beam["aidx"] = jax.device_put(jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None], (B, M)), beam_sh)
+        beam["RL"] = jax.device_put(
+            jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0), beam_sh)
+        RRs = envsB(rhoT[:, ny + 1], Wt[:, ny], beam["vind"][:, :, 1:])
+        row = dict(lB=lB[:, ny], drindex=drindex[:, ny], AT=rhoT[:, ny + 1],
+                   RRs=RRs, Es=EsP[:, ny], Esl=EslP[:, ny], Esu=EsuP[:, ny],
+                   dmap=dmap[:, ny], rmap=rmap[:, ny], nvalid=nvalid[:, ny],
+                   cols=cols[:, ny])
+        beam, aux = step(beam, row)
+        auxs.append(aux)  # no host sync inside the row loop
+
+    globalmin = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
+    pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
+                    dtype=np.float64)
+    ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
+    out = []
+    valid = np.asarray(beam["valid"])
+    Eng = np.asarray(beam["Eng"], dtype=np.float64)
+    prob = np.asarray(beam["prob"], dtype=np.float64)
+    deg = deg_decode(beam["deg"])
+    states = np.asarray(beam["states"])
+    for b in range(B):
+        v = valid[b]
+        best = int(np.argmin(np.where(v, Eng[b], np.inf)))
+        out.append(dict(energy=Eng[b, best], states=states[b, best],
+                        prob=prob[b, best], degeneracy=int(deg[b, best]),
+                        negative_probability=float(globalmin[b]),
+                        discarded_probability=float(pd[b]),
+                        merge_overflow=int(ovf[b])))
+    return out
+
+
 def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):
     """jit-compiled row step over a ('data','beam') mesh.
 

@@ -212,6 +212,11 @@ class SearchResult:
     states: np.ndarray
     discarded_probability: float
     negative_probability: float
+    # exactness diagnostics of capped device paths (0 on host paths):
+    # number of sites whose post-cutoff candidate count exceeded the merge
+    # candidate cap, and the largest such count (sizes the retry).
+    merge_overflow: int = 0
+    count_max: int = 0
 
 
 def search_ground_state(ctx: ContractionContext, M=2 ** 10,

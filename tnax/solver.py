@@ -50,6 +50,7 @@ class Solver:
         self.states = np.zeros((0, Nx * Ny), dtype=np.int32)
         self.discarded_probability = 0.0
         self.negative_probability = 0.0
+        self.merge_overflow = 0
         self.problem = None
         self._gauges = None
 
@@ -235,7 +236,8 @@ class Solver:
                                    lim_hd=0, min_dEng=1e-12,
                                    graduate_truncation=True, Dmax=32,
                                    tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                                   path="host", cand_factor=8):
+                                   path="host", cand_factor=8,
+                                   auto_grow=True):
         """Low-energy spectrum search recording droplet structure (reference
         `tnac4o/tnac4o.py:652-725`).
 
@@ -245,7 +247,13 @@ class Solver:
         (throughput mode — branch selection resolves at the compute dtype's
         precision; recorded droplet energies stay exact float64;
         ``cand_factor`` bounds the per-site merge candidate set at
-        cand_factor*M)."""
+        cand_factor*M). If the post-cutoff candidate count ever exceeds the
+        cap (dropping deep-tail droplet records), ``auto_grow=True``
+        re-runs the search once with a cap sized from the measured maximum
+        so the recorded droplet tree is complete — reference semantics
+        merge the full post-cutoff set (`tnac4o/tnac4o.py:481-526`).
+        ``self.merge_overflow`` reports the residual overflow (0 = the
+        spectrum's droplet records are complete)."""
         from . import spectrum as _spec
         ctx = self._context()
         self.excitations_encoding = excitations_encoding
@@ -258,12 +266,30 @@ class Solver:
             lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS, tolV=tolV,
             max_sweeps=max_sweeps, graduate_truncation=graduate_truncation,
             **kw)
+        factor = cand_factor
+        while path == "device" and auto_grow and res.merge_overflow \
+                and factor < ctx.Np:
+            # the rerun's counts can exceed the capped run's measurement
+            # (different beam content), so grow with 2x margin; cand_factor
+            # = Np is the full M*Np expansion, which cannot overflow
+            factor = min(ctx.Np, 2 * max(-(-res.count_max // M), factor))
+            self.logger.info(
+                "merge candidate cap exceeded at %d sites; re-running with "
+                "cand_factor=%d for a complete droplet tree",
+                res.merge_overflow, factor)
+            res = fn(self, ctx, excitations_encoding, M=M,
+                     relative_P_cutoff=relative_P_cutoff, max_dEng=max_dEng,
+                     lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS,
+                     tolV=tolV, max_sweeps=max_sweeps,
+                     graduate_truncation=graduate_truncation,
+                     cand_factor=factor)
         self.energy = res.energy
         self.probability = res.probability
         self.degeneracy = res.degeneracy
         self.states = res.states[:, self.order]
         self.discarded_probability = res.discarded_probability
         self.negative_probability = res.negative_probability
+        self.merge_overflow = res.merge_overflow
         return self.energy
 
     def decode_low_energy_states(self, max_dEng=0.0, max_states=1024):

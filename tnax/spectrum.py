@@ -773,7 +773,8 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     out_prob = np.full(M, par.NEG)
     out_prob[0] = 0.0
     pd_max, globalmin = -np.inf, 1.0
-    overflow = 0
+    overflow, count_max = 0, 0
+    negp_site = (0, 0)
 
     for ny in range(Ny):
         t_row = time.time()
@@ -793,10 +794,12 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                                       r[-3:].view(np.float32))
             if count > C:
                 overflow += 1
+            count_max = max(count_max, count)
             for disc in (disc_cut, disc_m):
                 if disc > par.NEG / 2:
                     pd_max = max(pd_max, disc)
-            globalmin = min(globalmin, minP)
+            if minP < globalmin:
+                globalmin, negp_site = minP, (ny, nx)
 
             Es, Esl, Esu = ctx.energy_tables(ny, nx)
             n = len(Es)
@@ -885,9 +888,16 @@ def device_search_spectrum(ins, ctx: ContractionContext,
 
     if overflow:
         logger.warning(
-            "candidate cap C=%d exceeded at %d sites — some merge losers "
-            "were not recorded; raise cand_factor for a complete spectrum",
-            C, overflow)
+            "candidate cap C=%d exceeded at %d sites (max post-cutoff "
+            "count %d) — some merge losers were not recorded; "
+            "cand_factor >= %d makes the spectrum complete "
+            "(result.merge_overflow carries this exactness flag)",
+            C, overflow, count_max, -(-count_max // M))
+    if globalmin < -0.5:
+        logger.warning(
+            "negative_probability %.3g saturated at site (ny=%d, nx=%d) — "
+            "at least one live branch's conditional fully clamped at the "
+            "compute dtype's precision", globalmin, *negp_site)
     if _os.environ.get("TNAX_SPECTRUM_TIMING"):
         logger.info("host replay phase: %.2f s", time.time() - t_replay)
     logger.info("Spectrum search total: %.2f s", time.time() - t_total)
@@ -899,4 +909,5 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         energy=Eng_h[keep], probability=out_prob[keep],
         degeneracy=int(deg_h[keep[0]]), states=states_h[keep],
         discarded_probability=float(pd_max),
-        negative_probability=min(globalmin, 0.0))
+        negative_probability=min(globalmin, 0.0),
+        merge_overflow=overflow, count_max=count_max)
