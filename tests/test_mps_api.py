@@ -99,3 +99,28 @@ def test_init_mps_randC():
     n = mps_dot(np.conj(m.A), m.A)
     assert abs(complex(n).imag) < 1e-10
     assert complex(n).real > 0
+
+
+def test_expectation_1mpo_mix_matches_full():
+    """Replacing one MPO site through cached environments equals the full
+    sandwich with the modified MPO (reference expectation_1mpo_mix,
+    tnac4o/mps.py:593-603)."""
+    import jax.numpy as jnp
+    from tnax import bmps
+    rng = np.random.default_rng(4)
+    L, D, d, lh = 5, 3, 2, 3
+    bra = bmps.init_mps(L, D, d, jnp.float64, initial="randR", seed=1).A
+    ket = bmps.init_mps(L, D, d, jnp.float64, initial="randR", seed=2).A
+    W = jnp.asarray(rng.standard_normal((L, lh, d, lh, d)))
+    for n in (0, 2, L - 1):
+        Wn = jnp.asarray(rng.standard_normal((lh, d, lh, d)))
+        got = bmps.expectation_1mpo_mix(bra, W, ket, n, Wn)
+        want = bmps.expectation_mpo(bra, W.at[n].set(Wn), ket)
+        assert np.isclose(float(got), float(want), rtol=1e-10), n
+        # list variant: a stack of replacements in one call
+        Wns = jnp.asarray(rng.standard_normal((4, lh, d, lh, d)))
+        gotl = np.asarray(bmps.expectation_list_1mpo_mix(bra, W, ket, n,
+                                                         Wns))
+        wantl = [float(bmps.expectation_mpo(bra, W.at[n].set(Wns[i]), ket))
+                 for i in range(4)]
+        assert np.allclose(gotl, wantl, rtol=1e-10), n

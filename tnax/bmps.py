@@ -116,6 +116,66 @@ def expectation_mpo(bra_A: jax.Array, W: jax.Array,
     return F[0, 0, 0]
 
 
+def mpo_envs_at(bra_A: jax.Array, W: jax.Array, ket_A: jax.Array, n: int):
+    """Left/right MPO-sandwich environments around site ``n``.
+
+    Functional analogue of the reference's cached ``F[n]``/``F[n+1]``
+    3-leg environments (`setup_FL`/`setup_FR`, `tnac4o/mps.py:488-530`):
+    FL contracts sites 0..n-1 of <bra| W |ket>, FR sites n+1..L-1. Legs
+    (bra, mpo, ket). ``n`` must be a static int (the scans have static
+    lengths)."""
+    L = bra_A.shape[0]
+    Db, Dk, lh = bra_A.shape[1], ket_A.shape[1], W.shape[1]
+    FL = jnp.zeros((Db, lh, Dk), dtype=ket_A.dtype).at[0, 0, 0].set(1.0)
+    FR = jnp.zeros((Db, lh, Dk), dtype=ket_A.dtype).at[0, 0, 0].set(1.0)
+
+    def left(F, xs):
+        b, Wn, k = xs
+        T = jnp.einsum("blk,kdm->bldm", F, k)
+        T = jnp.einsum("bldm,lerd->berm", T, Wn)
+        return jnp.einsum("berm,bec->crm", T, b), None
+
+    def right(F, xs):
+        b, Wn, k = xs
+        T = jnp.einsum("kdm,crm->kdcr", k, F)
+        T = jnp.einsum("kdcr,lerd->kecl", T, Wn)
+        return jnp.einsum("kecl,bec->blk", T, b), None
+
+    if n > 0:
+        FL, _ = lax.scan(left, FL, (bra_A[:n], W[:n], ket_A[:n]))
+    if n < L - 1:
+        FR, _ = lax.scan(right, FR, (bra_A[n + 1:], W[n + 1:],
+                                     ket_A[n + 1:]), reverse=True)
+    return FL, FR
+
+
+def expectation_1mpo_mix(bra_A: jax.Array, W: jax.Array, ket_A: jax.Array,
+                         n: int, Wn: jax.Array) -> jax.Array:
+    """<bra| W |ket> with the MPO tensor at site ``n`` replaced by ``Wn``
+    (reference `expectation_1mpo_mix`, `tnac4o/mps.py:593-598`, kernel
+    `_mps_expectation_mpo` `:700-706`). ``Wn`` legs (l, out, r, in)."""
+    FL, FR = mpo_envs_at(bra_A, W, ket_A, n)
+    T = jnp.einsum("blk,kdm->bldm", FL, ket_A[n])
+    T = jnp.einsum("bldm,lerd->berm", T, Wn)
+    T = jnp.einsum("berm,bec->crm", T, bra_A[n])
+    return jnp.einsum("crm,crm->", T, FR)
+
+
+def expectation_list_1mpo_mix(bra_A: jax.Array, W: jax.Array,
+                              ket_A: jax.Array, n: int,
+                              Wns: jax.Array) -> jax.Array:
+    """Batched :func:`expectation_1mpo_mix` over a stack of site tensors
+    ``Wns`` (N, l, out, r, in) — the environments are built once and every
+    replacement operator contracts against them in one vmapped einsum
+    (reference `expectation_list_1mpo_mix` + `_mps_expectation_list_mpo`,
+    `tnac4o/mps.py:600-603,708-714`)."""
+    FL, FR = mpo_envs_at(bra_A, W, ket_A, n)
+    T = jnp.einsum("blk,kdm->bldm", FL, ket_A[n])
+    T = jnp.einsum("bldm,nlerd->nberm", T, Wns)
+    T = jnp.einsum("nberm,bec->ncrm", T, bra_A[n])
+    return jnp.einsum("ncrm,crm->n", T, FR)
+
+
 def trivial_mps(L: int, D: int, d: int, dtype) -> MPS:
     """Product state of ones on the valid (index-0) channels.
 
