@@ -19,7 +19,12 @@ time in the JSON side channel.
 
 Env knobs: TNAX_BENCH_L (128|512|1152|2048, default 2048),
 TNAX_BENCH_D (default 32), TNAX_BENCH_M (default 1024),
-TNAX_BENCH_PATH (device|host, default device on accelerators).
+TNAX_BENCH_PATH (device|host, default device on accelerators),
+TNAX_BENCH_FLEET=N (also run an N-instance chimera-512 fleet via
+`multi_search_gs` and report instances/min — the production mode,
+BASELINE.md north-star "100 instances x 4 rotations"),
+TNAX_BENCH_SPECTRUM=1 (also run the L2048 ee=2 device-record spectrum and
+report its wall-clock vs the reference's 677.9 s CPU).
 """
 
 import json
@@ -84,6 +89,28 @@ def main():
     # marginal evaluations per second (the north-star throughput metric):
     # every site of the lattice evaluates M x N_block conditional weights
     evals = M * 256 * Nx * Ny / warm
+    # analytic FLOP estimate of the dominant matmuls per search: marginal
+    # contractions (RL@AT and the T2/RRs einsums per site per branch), the
+    # row right-environments, and the boundary build's zip-up (RSVD
+    # sketches). Shows distance from roofline: this workload is
+    # latency/smalltensor-bound, not FLOP-bound, so MFU is intentionally
+    # honest-low (VERDICT.md weakness 7).
+    lv = lh = 16
+    Np = 256
+    sites = Nx * Ny
+    f_marg = sites * (2 * M * D * D * lv + 2 * M * D * lv * lh
+                      + 2 * M * Np)
+    f_envs = Ny * Nx * (2 * M * D * D * lv + 2 * M * D * lv * lh)
+    k = min(2 * D, 64) + 32
+    f_build = sites * (6 * (2 * D * lv) * (D * lh) * k)
+    flops = f_marg + f_envs + f_build
+    peak = 4.9e13 if backend == "tpu" else 1e12   # v5e f32 ~49 TFLOP/s
+    extra = {}
+    nfleet = int(os.environ.get("TNAX_BENCH_FLEET", "0"))
+    if nfleet:
+        extra["fleet_instances_per_min"] = _fleet_metric(nfleet)
+    if os.environ.get("TNAX_BENCH_SPECTRUM"):
+        extra.update(_spectrum_metric())
     print(f"# backend={backend} path={path} L={L} D={D} M={M} "
           f"cold={cold:.1f}s warm={warm:.1f}s E={E:.8f} ref={REF_ENERGY[L]} "
           f"match={ok}", file=sys.stderr)
@@ -96,9 +123,57 @@ def main():
         "energy": E,
         "cold_s": round(cold, 3),
         "marginal_evals_per_s": round(evals),
+        "flops_est": int(flops),
+        "mfu_pct": round(100.0 * flops / warm / peak, 4),
         "backend": backend,
         "path": path,
+        **extra,
     }))
+
+
+def _fleet_metric(n):
+    """n-instance chimera-512 fleet throughput (instances/min, warm)."""
+    from tnax.search import ContractionContext
+    Nx, Ny, Nc = SHAPES[512]
+    ctxs = []
+    for i in range(1, n + 1):
+        J = tnax.load_Jij(
+            "/root/reference/instances/Chimera_droplet_instances/"
+            "chimera512_spinglass_power/%03d.txt" % i)
+        J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=3)
+        ins.precondition(mode="balancing")
+        ctxs.append(ins._context())
+    parallel.multi_search_gs(ctxs, M=1024, relative_P_cutoff=1e-8, Dmax=32)
+    t0 = time.time()
+    parallel.multi_search_gs(ctxs, M=1024, relative_P_cutoff=1e-8, Dmax=32)
+    return round(n / (time.time() - t0) * 60.0, 2)
+
+
+def _spectrum_metric():
+    """L2048 ee=2 device-record spectrum wall-clock (warm) vs reference."""
+    J = tnax.load_Jij(
+        "/root/reference/instances/Chimera_droplet_instances/"
+        "chimera2048_spinglass_power/001.txt")
+    J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
+
+    def once():
+        import numpy as np
+        ins = tnax.Solver(mode="Ising", Nx=16, Ny=16, Nc=8, J=J, beta=3)
+        np.random.seed(7)
+        ins.add_noise(amplitude=1e-7)
+        ins.precondition(mode="balancing")
+        t0 = time.time()
+        ins.search_low_energy_spectrum(excitations_encoding=2, M=1024,
+                                       relative_P_cutoff=1e-8, Dmax=32,
+                                       max_dEng=1.0, path="device",
+                                       auto_grow=False)
+        return time.time() - t0
+
+    once()
+    dt = once()
+    return {"spectrum_L2048_s": round(dt, 3),
+            "spectrum_vs_ref": round(677.9 / dt, 2)}
 
 
 if __name__ == "__main__":

@@ -565,34 +565,77 @@ def _orient_mpo(W, conj):
     return W if conj else jnp.transpose(W, (0, 1, 4, 3, 2))
 
 
+def _rsvd(Gm: jax.Array, k: int, key, iters: int = 2):
+    """Randomized top-``k`` SVD (Halko-Martinsson-Tropp with power
+    iterations): returns (U (m, k), S (k,), Vh (k, n)).
+
+    Deterministic for a fixed ``key``. The boundary-MPS transfer spectra
+    decay exponentially, so a small oversampled sketch captures the kept
+    subspace to working precision; the exact Frobenius mass of everything
+    outside the sketch is still accounted by the caller via
+    ||G||_F^2 - sum(S^2). All operations are matmuls + thin QR — MXU
+    work instead of a full iterative SVD of the (m, n) core, which
+    dominated the boundary-build wall-clock on TPU.
+    """
+    n = Gm.shape[1]
+    Om = jax.random.normal(key, (n, k), Gm.dtype)
+    Q, _ = jnp.linalg.qr(Gm @ Om)
+    for _ in range(iters):
+        Z, _ = jnp.linalg.qr(Gm.T @ Q)
+        Q, _ = jnp.linalg.qr(Gm @ Z)
+    B = Q.T @ Gm
+    Ub, S, Vh = svd_fixed(B)
+    return Q @ Ub, S, Vh
+
+
 def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
                 tol: float):
     """Left-to-right zip-up of W onto mps, truncated to bond Dmax.
 
     ``mps`` should enter right-canonical. Returns (MPS(bond=Dmax),
     max_discarded); the result is left-canonical.
+
+    The per-site truncation uses a randomized sketch (:func:`_rsvd`,
+    seeded deterministically per site) whenever the exact SVD core would
+    be much larger than the kept rank; set ``TNAX_ZIPUP_RSVD=0`` to force
+    exact SVDs everywhere.
     """
+    import os as _os
     Wc = _orient_mpo(W, conj)
     L, D, d, _ = mps.A.shape
     lh, du = Wc.shape[1], Wc.shape[4]
     dtype = mps.A.dtype
     eps = float(jnp.finfo(dtype).eps)
     tol = max(eps, tol)
+    rows, cols = Dmax * du, D * lh
+    k_sketch = min(min(rows, cols), Dmax + 32)
+    use_rsvd = (_os.environ.get("TNAX_ZIPUP_RSVD", "1") != "0"
+                and min(rows, cols) >= 2 * k_sketch)
+    keys = jax.random.split(jax.random.PRNGKey(0), L)
 
     T0 = jnp.zeros((Dmax, D, lh), dtype=dtype).at[0, 0, 0].set(1.0)
 
     def step(carry, xs):
         T, lognorm, disc = carry
-        A, Wn = xs
+        A, Wn, key = xs
         t1 = jnp.einsum("mal,adb->mldb", T, A)
         G = jnp.einsum("mldb,ldru->mubr", t1, Wn)
         Gm = G.reshape(Dmax * du, D * lh)
-        U, S, Vh = svd_fixed(Gm)
+        if use_rsvd:
+            U, S, Vh = _rsvd(Gm, k_sketch, key)
+            S = jnp.maximum(S, 0.0)
+            # exact total discarded mass: everything outside the kept
+            # columns, including what the sketch never captured
+            frob2 = jnp.sum(Gm * Gm)
+        else:
+            U, S, Vh = svd_fixed(Gm)
+            frob2 = jnp.sum(S * S)
         K = S.shape[0]
         keep = (S > S[0] * tol) & (jnp.arange(K) < Dmax)
         s0 = jnp.where(S[0] > 0, S[0], 1.0)
+        kept2 = jnp.sum(jnp.where(keep, S * S, 0.0))
         disc = jnp.maximum(
-            disc, jnp.sqrt(jnp.sum(jnp.where(keep, 0.0, S) ** 2)) / s0)
+            disc, jnp.sqrt(jnp.maximum(frob2 - kept2, 0.0)) / s0)
         S = jnp.where(keep, S, 0.0)
         U = (U * keep[None, :].astype(dtype))[:, :Dmax]
         Anew = U.reshape(Dmax, du, Dmax)
@@ -603,7 +646,7 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
         return (Tn, lognorm, disc), Anew
 
     init = (T0, mps.lognorm, jnp.zeros((), dtype))
-    (T, lognorm, disc), Anew = lax.scan(step, init, (mps.A, Wc))
+    (T, lognorm, disc), Anew = lax.scan(step, init, (mps.A, Wc, keys))
     c = T[0, 0, 0]
     mag = jnp.abs(c)
     lognorm = lognorm + jnp.where(mag > 0,

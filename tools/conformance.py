@@ -58,11 +58,11 @@ def j124_oracle(C):
     return out
 
 
-def run_droplet(L, n, D, M, path, precondition, max_rot=4):
+def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1):
     Nx, Ny, Nc = SHAPES[L]
     oracle = droplet_oracle(L)
     results = []
-    for ins_no in range(1, n + 1):
+    for ins_no in range(start, n + 1):
         f = os.path.join(INST, "Chimera_droplet_instances",
                          f"chimera{L}_spinglass_power", "%03d.txt" % ins_no)
         J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
@@ -102,15 +102,24 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4):
     return results
 
 
-def run_j124(C, n, D, M, precondition):
+def run_j124(C, n, D, M, precondition, path="host", start=1):
+    """J124 degeneracy protocol: best energy + max degeneracy among the
+    best over all 4 rotations (reference examples/e06...py:97-113).
+
+    path='device' runs the throughput search — J124 energies are integers,
+    exact in f32, and the device path's full-candidate-set merge with
+    multi-limb counters makes degeneracy exact (C16 degeneracies exceed
+    int32)."""
     Nx = Ny = C
     oracle = j124_oracle(C)
     results = []
-    for ins_no in range(1, n + 1):
+    for ins_no in range(start, n + 1):
         f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
                          "%03d.txt" % ins_no)
         J = tnax.Jij_f2p(tnax.load_Jij(f))
         best_E, best_deg = np.inf, 0
+        t0 = time.time()
+        ovf = 0
         for rot in range(4):
             ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
                               beta=0.75)
@@ -118,16 +127,30 @@ def run_j124(C, n, D, M, precondition):
                 ins.rotate_graph(rot=rot)
             if precondition:
                 ins.precondition(mode="balancing")
-            ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
-            if ins.energy[0] < best_E - 1e-9:
-                best_E, best_deg = ins.energy[0], ins.degeneracy
-            elif abs(ins.energy[0] - best_E) < 1e-9:
-                best_deg = max(best_deg, ins.degeneracy)
+            if path == "device":
+                from tnax import parallel
+                ctx = ins._context()
+                r = parallel.device_search_gs(ctx, M=M,
+                                              relative_P_cutoff=1e-8,
+                                              Dmax=D)
+                ins.states = r["states"][None, :][:, ins.order]
+                E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+                deg = r["degeneracy"]
+                ovf += r["merge_overflow"]
+            else:
+                ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
+                E, deg = float(ins.energy[0]), ins.degeneracy
+            if E < best_E - 1e-9:
+                best_E, best_deg = E, deg
+            elif abs(E - best_E) < 1e-9:
+                best_deg = max(best_deg, deg)
         oE, odeg = oracle[ins_no]
         ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
-        results.append(dict(instance=ins_no, energy=best_E, degeneracy=best_deg,
-                            oracle_energy=oE, oracle_degeneracy=odeg,
-                            ok=bool(ok)))
+        results.append(dict(instance=ins_no, energy=best_E,
+                            degeneracy=best_deg, oracle_energy=oE,
+                            oracle_degeneracy=odeg, ok=bool(ok),
+                            merge_overflow=ovf,
+                            seconds=round(time.time() - t0, 2)))
         print(json.dumps(results[-1]), flush=True)
     return results
 
@@ -141,15 +164,17 @@ if __name__ == "__main__":
     p.add_argument("--D", type=int, default=None)
     p.add_argument("--M", type=int, default=None)
     p.add_argument("--path", choices=["host", "device"], default="host")
+    p.add_argument("--start", type=int, default=1)
     p.add_argument("--no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True)
     args = p.parse_args()
 
     if args.family == "droplet":
         res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
-                          args.path, args.pre)
+                          args.path, args.pre, start=args.start)
     else:
-        res = run_j124(args.C, args.n, args.D or 48, args.M or 4096, args.pre)
+        res = run_j124(args.C, args.n, args.D or 48, args.M or 4096,
+                       args.pre, path=args.path, start=args.start)
     n_ok = sum(r["ok"] for r in res)
     print(f"# conformance: {n_ok}/{len(res)} matched")
     sys.exit(0 if n_ok == len(res) else 1)
