@@ -57,12 +57,20 @@ def ensure_precision() -> None:
         # many orders of magnitude). 3-pass f32 on the MXU is still fast.
         jax.config.update("jax_default_matmul_precision", "highest")
     if backend != "cpu" and os.environ.get("TNAX_COMPILE_CACHE", "1") != "0":
-        # first TPU compiles of QR/SVD pipelines are minutes-long through
-        # remote-compile tunnels; persist them across processes
+        # Persist compiled programs across processes. Measured behavior on
+        # the tunneled 'axon' TPU backend (round 2): the cache DOES write
+        # entries, but a fresh process's wall-clock "cold" time is
+        # dominated by backend/tunnel initialization and remote-compile
+        # service load (a trivial elementwise program showed 0.38 s
+        # XLA compile inside a 95 s first dispatch; the same program in a
+        # second process still paid ~90 s). Cold-start budgeting should
+        # therefore batch all validations into one long-lived process;
+        # in-process jit caching is what actually amortizes.
         cache_dir = os.environ.get("TNAX_COMPILE_CACHE_DIR",
                                    os.path.expanduser("~/.tnax_jax_cache"))
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _INITIALIZED = True
 
 

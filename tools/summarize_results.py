@@ -1,0 +1,47 @@
+"""Summarize conformance sweep JSONL files into a markdown table.
+
+Reads results/*.jsonl (written by tools/conformance.py via
+tools/sweep_r2.sh) and prints per-family match rates plus every miss,
+ready to paste into PARITY.md.
+"""
+
+import glob
+import json
+import os
+import sys
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
+
+
+def main():
+    rows = []
+    misses = []
+    for path in sorted(glob.glob(os.path.join(RESULTS, "*.jsonl"))):
+        name = os.path.basename(path).replace(".jsonl", "")
+        recs = []
+        for line in open(path):
+            line = line.strip()
+            if line.startswith("{"):
+                recs.append(json.loads(line))
+        if not recs:
+            continue
+        ok = sum(r["ok"] for r in recs)
+        secs = [r["seconds"] for r in recs if "seconds" in r]
+        rate = f"{ok}/{len(recs)}"
+        med = sorted(secs)[len(secs) // 2] if secs else None
+        rows.append((name, rate, round(sum(secs), 1) if secs else "",
+                     med))
+        misses += [(name, r) for r in recs if not r["ok"]]
+    print("| sweep | matched | total s | median s/instance |")
+    print("|---|---|---|---|")
+    for name, rate, tot, med in rows:
+        print(f"| {name} | {rate} | {tot} | {med} |")
+    if misses:
+        print("\nMisses:")
+        for name, r in misses:
+            print(f"- {name} #{r['instance']}: {json.dumps(r)}")
+    return 1 if misses else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
