@@ -60,6 +60,9 @@ class PaddedGrid:
 
 
 def pad_grid(problem: Problem) -> PaddedGrid:
+    cached = getattr(problem, "_grid_cache", None)
+    if cached is not None:
+        return cached
     Ny, Nx = problem.Ny, problem.Nx
     sites = [[problem.site(ny, nx) for nx in range(Nx)] for ny in range(Ny)]
     Np = max(t.n for row in sites for t in row)
@@ -80,8 +83,12 @@ def pad_grid(problem: Problem) -> PaddedGrid:
             dmap[ny, nx, :t.n] = t.dmap
             rmap[ny, nx, :t.n] = t.rmap
             nstates[ny, nx] = t.n
-    return PaddedGrid(Ny=Ny, Nx=Nx, Np=Np, lh=lh, lv=lv, Es=Es, Esl=Esl,
-                      Esu=Esu, dmap=dmap, rmap=rmap, nstates=nstates)
+    out = PaddedGrid(Ny=Ny, Nx=Nx, Np=Np, lh=lh, lv=lv, Es=Es, Esl=Esl,
+                     Esu=Esu, dmap=dmap, rmap=rmap, nstates=nstates)
+    # problems are immutable once built (rotation/noise construct new
+    # objects, like the per-site table cache) — reuse the padded grid
+    problem._grid_cache = out
+    return out
 
 
 def identity_gauges(grid: PaddedGrid, dtype=np.float64):

@@ -467,7 +467,13 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
 
 
 def _padded_energy_rows(ctx):
-    """Raw (unshifted) energy tables padded to grid shapes, as device arrays."""
+    """Raw (unshifted) energy tables padded to grid shapes, as device
+    arrays. Cached on the context: the tables depend only on the problem
+    (not beta/gauges), and both the padding loop and the upload are
+    worth skipping on repeat searches over the same context."""
+    cached = getattr(ctx, "_energy_rows_cache", None)
+    if cached is not None:
+        return cached
     import jax.numpy as jnp_
     g = ctx.grid
     Ny, Nx, Np, lh, lv = g.Ny, g.Nx, g.Np, g.lh, g.lv
@@ -482,7 +488,9 @@ def _padded_energy_rows(ctx):
             Esl[ny, nx, :n, :el.shape[1]] = el
             Esu[ny, nx, :n, :eu.shape[1]] = eu
     d = ctx.dtype
-    return (jnp_.asarray(Es, d), jnp_.asarray(Esl, d), jnp_.asarray(Esu, d))
+    out = (jnp_.asarray(Es, d), jnp_.asarray(Esl, d), jnp_.asarray(Esu, d))
+    ctx._energy_rows_cache = out
+    return out
 
 
 @jax.jit

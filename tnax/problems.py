@@ -287,6 +287,10 @@ class IsingProblem(Problem):
         self.lu = 2 ** self.su
 
         self._site_cache = {}
+        # padded-grid / device-table caches (engine.pad_grid,
+        # ContractionContext._build_device_tensors) key off these
+        self._grid_cache = None
+        self._dev_grid_cache = None
 
     # -- tables -------------------------------------------------------------
     def site(self, ny: int, nx: int) -> SiteTables:
@@ -408,6 +412,10 @@ class RMFProblem(Problem):
                 if ((ny, nx, ny + 1, nx) in fac) or ((ny + 1, nx, ny, nx) in fac):
                     self.ld[ny, nx] = self._N[ny + 1, nx]
         self._site_cache = {}
+        # padded-grid / device-table caches (engine.pad_grid,
+        # ContractionContext._build_device_tensors) key off these
+        self._grid_cache = None
+        self._dev_grid_cache = None
 
     def _pair_table(self, keyA, keyB, shape):
         """E(s_here, s_neighbour) with the reference's lookup order
@@ -478,6 +486,10 @@ class RMFProblem(Problem):
                     (rng.random(fun_new[key].shape[0]) * 2 - 1) * amplitude
         self.J["fun"] = fun_new
         self._site_cache = {}
+        # padded-grid / device-table caches (engine.pad_grid,
+        # ContractionContext._build_device_tensors) key off these
+        self._grid_cache = None
+        self._dev_grid_cache = None
 
     def decode_states(self, states, ind0, L):
         return states

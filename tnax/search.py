@@ -58,15 +58,27 @@ class ContractionContext:
     def _build_device_tensors(self):
         g, d = self.grid, self.dtype
         X = self.gauges
+        # the shifted energy tables / index maps depend only on the problem
+        # — cache their device copies across contexts (each upload over a
+        # tunneled accelerator link costs ~50 ms + bandwidth, and the beta
+        # ladder builds a fresh context per rung)
+        key = str(d)
+        cache = getattr(self.problem, "_dev_grid_cache", None)
+        if cache is None or cache[0] is not g or cache[1] != key:
+            tabs = (jnp.asarray(g.Es, d), jnp.asarray(g.Esl, d),
+                    jnp.asarray(g.Esu, d), jnp.asarray(g.dmap),
+                    jnp.asarray(g.rmap), jnp.asarray(self.drindex_host))
+            self.problem._dev_grid_cache = (g, key, tabs)
+            cache = self.problem._dev_grid_cache
+        Es_d, Esl_d, Esu_d, dmap_d, rmap_d, drindex_d = cache[2]
         lB, Wt = engine.peps_rows(
-            jnp.asarray(g.Es, d), jnp.asarray(g.Esl, d), jnp.asarray(g.Esu, d),
-            jnp.asarray(g.dmap), jnp.asarray(g.rmap),
+            Es_d, Esl_d, Esu_d, dmap_d, rmap_d,
             jnp.asarray(X["Xl"], d), jnp.asarray(X["Xr"], d),
             jnp.asarray(X["Xu"], d), jnp.asarray(X["Xd"], d),
             jnp.asarray(self.beta, d), lh=g.lh, lv=g.lv)
         self.lB = lB                # (Ny, Nx, Np, lh, lv), log domain
         self.Wt = Wt                # (Ny, Nx, lh, lv, lh, lv)
-        self.drindex = jnp.asarray(self.drindex_host)
+        self.drindex = drindex_d
 
     def build_boundary(self, Dmax, tolS, tolV, max_sweeps, graduate):
         """Boundary-MPS stack rhoT[ny] for ny=0..Ny (trivial at Ny)."""
