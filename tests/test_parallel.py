@@ -212,3 +212,18 @@ def test_device_search_packed_f32_pull():
     assert r32["energy"] == pytest.approx(r64["energy"], abs=1e-4)
     assert (r32["states"] == r64["states"]).all()
     assert r32["degeneracy"] == r64["degeneracy"]
+
+
+def test_deg_limbs_roundtrip():
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        rng.integers(0, 2 ** 62, 58),      # random across the range
+        [0, 1, 2 ** 31 - 1, 2 ** 31, 2 ** 47, 1371340800 * 64],
+    ]).astype(np.int64)
+    vals = np.abs(vals) % (1 << (parallel.DEG_BITS * parallel.DEG_LIMBS))
+    enc = parallel.deg_encode(vals)
+    assert (parallel.deg_decode(enc) == vals).all()
+    # device carry propagation after a summation
+    pairs = jnp.asarray(enc[:32]) + jnp.asarray(enc[32:64])
+    got = parallel.deg_decode(parallel._deg_carry(pairs))
+    assert (got == vals[:32] + vals[32:64]).all()
