@@ -77,3 +77,27 @@ def test_solver_precondition_device_path_golden():
         res[path] = (E[0], ins.degeneracy)
     assert res["device"][0] == pytest.approx(res["host"][0], abs=1e-9)
     assert res["device"][1] == res["host"][1]
+
+
+def test_ladder_program_matches_per_rung():
+    """The fused beta-ladder device program equals sequential per-rung
+    balance_ud_device calls (gauges and overlap bookkeeping)."""
+    rng = np.random.default_rng(3)
+    Nx, Ny, Nc = 3, 3, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    grid = engine.pad_grid(ins.problem)
+    g0 = engine.identity_gauges(grid)
+
+    ov_a, ov_b = [], []
+    Xa = dict(g0)
+    for beta in (1.0, 2.0):
+        Xa = precondition.balance_ud_device(ins.problem, beta, Xa,
+                                            overlaps_out=ov_a)
+    Xb = precondition.precondition_ladder_device(ins.problem, [1.0, 2.0],
+                                                 g0, overlaps_out=ov_b)
+    for k in Xa:
+        assert np.allclose(Xb[k], Xa[k], rtol=1e-9), k
+    assert len(ov_b) == 2
+    for a, b in zip(ov_a, ov_b):
+        assert np.allclose(a, b, rtol=1e-6, atol=1e-9)

@@ -483,18 +483,28 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
         overlap = rl_last[0, 0] * jnp.exp2(ln)
         return Anew, S, RLs, diff, overlap, lnstate
 
+    # In f32 the Schmidt-vector change plateaus at the dtype's noise floor
+    # well above any f64-style tolV, so the tol test alone would always run
+    # max_sweeps; also require >=10% improvement per sweep there.
+    plateau = float(jnp.finfo(dtype).eps) > 1e-10
+
     def cond(st):
-        return (st[3] > tol) & (st[5] < max_sweeps)
+        going = (st[3] > tol) & (st[5] < max_sweeps)
+        if plateau:
+            going = going & (st[3] < st[7] * 0.9)
+        return going
 
     def body(st):
-        A, S, RLs, _, _, sweeps, _ = st
+        A, S, RLs, prev, _, sweeps, _, _ = st
         A, S, RRs = right_sweep(A, S, RLs)
         A, S, RLs, diff, overlap, lnstate = left_sweep(A, S, RRs)
-        return (A, S, RLs, diff, overlap, sweeps + 1, lnstate)
+        return (A, S, RLs, diff, overlap, sweeps + 1, lnstate, prev)
 
     st = (A0, S0, RLs, jnp.ones((), dtype), overlap0,
-          jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
-    A, S, RLs, diff, overlap, sweeps, lnstate = lax.while_loop(cond, body, st)
+          jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+          jnp.asarray(jnp.inf, dtype))
+    A, S, RLs, diff, overlap, sweeps, lnstate, _ = \
+        lax.while_loop(cond, body, st)
     return MPS(A=A, lognorm=mps.lognorm + lnstate), overlap
 
 
@@ -761,18 +771,25 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
         FLs = jnp.concatenate([fl0[None], FL_tail], axis=0)
         return Anew, S, FLs, diff, fl_last[0, 0, 0] * jnp.exp2(ln), lnstate
 
+    # f32 plateau stop — see variational_compress
+    plateau = float(jnp.finfo(dtype).eps) > 1e-10
+
     def cond(st):
-        return (st[3] > tol) & (st[5] < max_sweeps)
+        going = (st[3] > tol) & (st[5] < max_sweeps)
+        if plateau:
+            going = going & (st[3] < st[7] * 0.9)
+        return going
 
     def body(st):
-        A, S, FLs, _, _, sweeps, _ = st
+        A, S, FLs, prev, _, sweeps, _, _ = st
         A, S, FRs = right_sweep(A, S, FLs)
         A, S, FLs, diff, overlap, ln_state = left_sweep(A, S, FRs)
-        return (A, S, FLs, diff, overlap, sweeps + 1, ln_state)
+        return (A, S, FLs, diff, overlap, sweeps + 1, ln_state, prev)
 
     st = (A0, S0, FLs, jnp.ones((), dtype), overlap0,
-          jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
-    A, S, FLs, diff, overlap, sweeps, ln_state = lax.while_loop(
+          jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+          jnp.asarray(jnp.inf, dtype))
+    A, S, FLs, diff, overlap, sweeps, ln_state, _ = lax.while_loop(
         cond, body, st)
     return MPS(A=A, lognorm=mps.lognorm + ln_state), overlap
 

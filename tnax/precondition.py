@@ -477,6 +477,91 @@ def _balance_interfaces(Ball, Tall, ndall, max_scale):
     return jnp.concatenate([o.reshape(-1) for o in outs])
 
 
+@partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
+                                   "graduate", "lh", "lv"))
+def _ladder_program(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
+                    *, Dmax, tolS, tolV, max_sweeps, graduate, lh, lv):
+    """The ENTIRE balancing beta ladder as one jitted program.
+
+    lax.scan over the ladder rungs; each rung regenerates the gauged
+    Boltzmann tensors at its beta, builds both D=8 boundary stacks, runs
+    the vmapped interface sweeps (:func:`_balance_one_interface`) and
+    folds the scales into the gauges — no host round trip between rungs
+    (each dispatch+pull over a tunneled accelerator link costs ~50 ms,
+    and the per-rung host NumPy work serialized the ladder).
+
+    Returns (X, overlaps (R, 4, Ny-1, Nx)).
+    """
+    Ny = X0["Xd"].shape[0]
+
+    def rung(X, beta):
+        lB, Wt = engine.peps_rows(Es, Esl, Esu, dmap, rmap, X["Xl"],
+                                  X["Xr"], X["Xu"], X["Xd"], beta,
+                                  lh=lh, lv=lv)
+        rhoT, _, _, _ = engine.build_rhoT(Wt, Dmax=Dmax, tolS=tolS,
+                                          tolV=tolV, max_sweeps=max_sweeps,
+                                          graduate=graduate)
+        rhoB, _, _ = engine.build_rhoB(Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                       max_sweeps=max_sweeps,
+                                       graduate=graduate)
+        s2, s3, o1_2, o2_2, o1_3, o2_3 = jax.vmap(
+            partial(_balance_one_interface, max_scale=max_scale))(
+                rhoB[1:Ny], rhoT[1:Ny], ndall)
+        s = s2 * s3                                     # (Ny-1, Nx, lv)
+        X = dict(X, Xd=X["Xd"].at[:-1].multiply(s),
+                 Xu=X["Xu"].at[1:].divide(s))
+        return X, jnp.stack([o1_2, o2_2, o1_3, o2_3])
+
+    X, overs = lax.scan(rung, X0, betas)
+    return X, overs
+
+
+def precondition_ladder_device(problem, betas, gauges, Dmax=8,
+                               graduate_truncation=False, tolS=1e-16,
+                               tolV=1e-10, max_sweeps=20, max_scale=1024,
+                               overlaps_out=None, dtype=None):
+    """Run the whole 'ud' balancing beta ladder on device in one dispatch
+    (semantics of per-rung :func:`balance_ud_device` calls)."""
+    from .config import compute_dtype
+    if dtype is None:
+        dtype = compute_dtype()
+    max_scale = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
+    g = engine.pad_grid(problem)
+    Ny, Nx, lv = g.Ny, g.Nx, g.lv
+    X = {k: v.copy() for k, v in gauges.items()}
+    if Ny < 2:
+        if overlaps_out is not None:
+            for _ in betas:
+                overlaps_out.append(np.ones((2, max(Ny - 1, 0))))
+        return X
+    X0 = {k: jnp.asarray(v, dtype) for k, v in X.items()}
+    ndall = jnp.asarray(problem.ld[: Ny - 1], jnp.int32)
+    Xout, overs = _ladder_program(
+        jnp.asarray(g.Es, dtype), jnp.asarray(g.Esl, dtype),
+        jnp.asarray(g.Esu, dtype), jnp.asarray(g.dmap),
+        jnp.asarray(g.rmap), X0, jnp.asarray(np.asarray(betas), dtype),
+        ndall, jnp.asarray(max_scale, dtype), Dmax=Dmax, tolS=tolS,
+        tolV=tolV, max_sweeps=max_sweeps, graduate=graduate_truncation,
+        lh=g.lh, lv=g.lv)
+    out = {k: np.asarray(v, dtype=np.float64) for k, v in Xout.items()}
+    overs = np.asarray(overs, dtype=np.float64)   # (R, 4, Ny-1, Nx)
+    if overlaps_out is not None:
+        for r in range(overs.shape[0]):
+            o1_2, o2_2, o1_3, o2_3 = overs[r]
+            overlaps = np.ones((2, Ny - 1))
+            for ny in range(1, Ny):
+                seq = [(o1_2[ny - 1, nx], o2_2[ny - 1, nx])
+                       for nx in range(Nx - 1, -1, -1)]
+                seq += [(o1_3[ny - 1, nx], o2_3[ny - 1, nx])
+                        for nx in range(Nx)]
+                for o1, o2 in seq:
+                    if o1 < overlaps[0, ny - 1]:
+                        overlaps[0, ny - 1] = o1
+                        overlaps[1, ny - 1] = max(o1, o2)
+            overlaps_out.append(overlaps)
+    return out
+
+
 def balance_ud_device(problem, beta, gauges, Dmax=8,
                       graduate_truncation=False, tolS=1e-16, tolV=1e-10,
                       max_sweeps=20, max_scale=1024, overlaps_out=None):

@@ -136,9 +136,23 @@ class Solver:
             from . import engine as _engine
             grid = _engine.pad_grid(self.problem)
             self._gauges = _engine.identity_gauges(grid)
+        overlaps = []
+        if path == "device" and tuple(directions) == ("ud",) \
+                and len(set(Dmax_cond)) == 1:
+            # the whole beta ladder as ONE device program (no host round
+            # trips between rungs)
+            self.logger.info("Preconditioning ladder (device): betas %s",
+                             [round(b, 3) for b in beta_cond])
+            self._gauges = _pre.precondition_ladder_device(
+                self.problem, beta_cond, self._gauges, Dmax=Dmax_cond[0],
+                graduate_truncation=graduate_truncation, tolS=tolS,
+                tolV=tolV, max_sweeps=max_sweeps, max_scale=max_scale,
+                overlaps_out=overlaps)
+            self.overlaps_ud = np.vstack(overlaps) if overlaps else \
+                np.empty((0, max(self.Ny - 1, 0)))
+            return
         ud = _pre.balance_ud_device if path == "device" else _pre.balance_ud
         sweeps = {"ud": ud, "lr": _pre.balance_lr}
-        overlaps = []
         for beta, D in zip(beta_cond, Dmax_cond):
             self.logger.info("Preconditioning with beta = %.2f", beta)
             for direction in directions:
