@@ -111,6 +111,54 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
     return results
 
 
+def run_j124_batched(C, n, D, M, precondition, start=1):
+    """J124 protocol with all 4 rotations of an instance batched through
+    `parallel.multi_search_gs` in ONE device dispatch (rotations of a
+    square lattice share padded shapes). Semantics identical to
+    run_j124(path='device') without the early-stop: best energy + max
+    degeneracy among the best over the 4 rotations."""
+    from tnax import parallel
+    Nx = Ny = C
+    oracle = j124_oracle(C)
+    results = []
+    for ins_no in range(start, n + 1):
+        f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                         "%03d.txt" % ins_no)
+        J = tnax.Jij_f2p(tnax.load_Jij(f))
+        t0 = time.time()
+        solvers, ctxs = [], []
+        for rot in range(4):
+            ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
+                              beta=0.75)
+            if rot:
+                ins.rotate_graph(rot=rot)
+            if precondition:
+                ins.precondition(mode="balancing")
+            solvers.append(ins)
+            ctxs.append(ins._context())
+        rs = parallel.multi_search_gs(ctxs, M=M, relative_P_cutoff=1e-8,
+                                      Dmax=D)
+        best_E, best_deg, ovf = np.inf, 0, 0
+        for ins, r in zip(solvers, rs):
+            ins.states = np.asarray(r["states"])[None, :][:, ins.order]
+            E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+            deg = r["degeneracy"]
+            ovf += r["merge_overflow"]
+            if E < best_E - 1e-9:
+                best_E, best_deg = E, deg
+            elif abs(E - best_E) < 1e-9:
+                best_deg = max(best_deg, deg)
+        oE, odeg = oracle[ins_no]
+        ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
+        results.append(dict(instance=ins_no, energy=best_E,
+                            degeneracy=best_deg, oracle_energy=oE,
+                            oracle_degeneracy=odeg, ok=bool(ok),
+                            merge_overflow=ovf,
+                            seconds=round(time.time() - t0, 2)))
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
 def run_j124(C, n, D, M, precondition, path="host", start=1):
     """J124 degeneracy protocol: best energy + max degeneracy among the
     best over all 4 rotations (reference examples/e06...py:97-113).
@@ -183,11 +231,16 @@ if __name__ == "__main__":
     p.add_argument("--escalate", action="store_true")
     p.add_argument("--only", type=str, default=None,
                    help="comma-separated instance numbers")
+    p.add_argument("--batch-rot", action="store_true",
+                   help="j124: batch the 4 rotations in one device dispatch")
     p.add_argument("--no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True)
     args = p.parse_args()
 
-    if args.only:
+    if args.family == "j124" and args.batch_rot:
+        res = run_j124_batched(args.C, args.n, args.D or 48,
+                               args.M or 4096, args.pre, start=args.start)
+    elif args.only:
         res = []
         for k in (int(x) for x in args.only.split(",")):
             res += run_droplet(args.L, k, args.D or 32, args.M or 1024,
