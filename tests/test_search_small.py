@@ -168,3 +168,37 @@ def test_checkpoint_resume(tmp_path):
     assert res.energy[0] == pytest.approx(full.energy[0], abs=1e-12)
     assert res.degeneracy == full.degeneracy
     assert np.array_equal(res.states, full.states)
+
+
+def test_negative_probability_core_plumbing():
+    """negative_probability_core: reported by host and device GS paths,
+    never more negative than the raw flag (it is a masked min of the same
+    per-branch statistic), and clean (>-0.5) on a well-conditioned small
+    instance where the raw flag is clean too."""
+    rng = np.random.default_rng(3)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    for path in ("host", "device"):
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        ins.search_ground_state(M=64, relative_P_cutoff=1e-6, Dmax=8,
+                                path=path)
+        core = ins.negative_probability_core
+        raw = ins.negative_probability
+        assert core <= 0.0
+        assert core >= raw - 1e-12, (path, core, raw)
+        assert core > -0.5
+
+    # spectrum paths carry it too, and it round-trips through save/load
+    import os
+    import tempfile
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    ins.search_low_energy_spectrum(excitations_encoding=1, M=64,
+                                   relative_P_cutoff=1e-6, Dmax=8,
+                                   max_dEng=1.0, path="device")
+    assert hasattr(ins, "negative_probability_core")
+    with tempfile.TemporaryDirectory() as td:
+        fn = os.path.join(td, "res.npy")
+        ins.save(fn)
+        back = tnax.load(fn)
+        assert back.negative_probability_core == \
+            ins.negative_probability_core

@@ -366,7 +366,14 @@ def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
     `tnac4o/tnac4o.py:456-465`).
 
     Returns one packed float32 array [vals(cap), idx-bits(cap), count,
-    minP] where idx indexes the flattened (M*Np) expansion.
+    minP, minP_core] where idx indexes the flattened (M*Np) expansion.
+    minP_core restricts the negativeness statistic to branches within the
+    relative-probability cutoff window of the best branch — branches whose
+    conditionals are meaningful at the compute dtype. Sub-window tail
+    branches in f32 sit below the compressed boundary's representational
+    noise floor and saturate the raw flag at -1 without carrying
+    information (diagnosed round 2, tools/negp_probe.py: f64 end-to-end at
+    the same D shows minP_core-level negativeness only).
     """
     M, Np = Pn.shape
     neg = jnp.asarray(-1e30, Pn.dtype)
@@ -377,13 +384,17 @@ def expand_topk(Pn, mPn, prob, valid, log2_cutoff, *, cap):
     count = jnp.sum(probf > pmax + log2_cutoff)
     vals, idx = lax.top_k(probf, min(cap, M * Np))
     minP = jnp.min(jnp.where(valid, mPn, 0.0))
+    bmax = jnp.max(jnp.where(valid, prob, neg))
+    core = valid & (prob > bmax + log2_cutoff)
+    minP_core = jnp.min(jnp.where(core, mPn, 0.0))
     # pack everything into ONE array: each host pull costs a full round
     # trip over the accelerator IO link (~50 ms fixed on tunneled setups)
     packed = jnp.concatenate([
         vals.astype(jnp.float32),
         lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.float32),
         jnp.stack([count.astype(jnp.float32),
-                   minP.astype(jnp.float32)]),
+                   minP.astype(jnp.float32),
+                   minP_core.astype(jnp.float32)]),
     ])
     return packed
 

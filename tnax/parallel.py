@@ -301,29 +301,38 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         # negativeness flag only from live branches — padded slots carry
         # junk environments whose marginals would pollute the diagnostic
         mq = jnp.min(jnp.where(valid, mPn, 0.0))
+        # ... and restricted to branches within the cutoff window for the
+        # informative statistic (tail branches below the f32 boundary noise
+        # floor saturate mq at -1; see engine.expand_topk)
+        bmax = jnp.max(jnp.where(valid, prob, NEG))
+        if axis is not None:
+            bmax = lax.pmax(bmax, axis)
+        core = valid & (prob > bmax + log2_cutoff)
+        mqc = jnp.min(jnp.where(core, mPn, 0.0))
         pd = jnp.maximum(disc_cap, disc_m)
         ovf = count > C_total
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
-                aidx_m), (mq, pd, ovf)
+                aidx_m), (mq, mqc, pd, ovf)
 
     xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
           row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
           row["rmap"], row["nvalid"], row["cols"])
     carry = (beam["RL"], beam["vind"], beam["states"], beam["Eng"],
              beam["prob"], beam["deg"], beam["valid"], beam["aidx"])
-    carry, (mPns, pds, ovfs) = lax.scan(site, carry, xs)
+    carry, (mPns, mqcs, pds, ovfs) = lax.scan(site, carry, xs)
     RL, vind, states, Eng, prob, deg, valid, aidx = carry
     # shift vind for the next row (reference tnac4o/tnac4o.py:540-542)
     vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
                            axis=1)
     out = dict(RL=RL, vind=vind, states=states, Eng=Eng, prob=prob, deg=deg,
                valid=valid, aidx=aidx)
-    mq, pd = jnp.min(mPns), jnp.max(pds)
+    mq, mqc, pd = jnp.min(mPns), jnp.min(mqcs), jnp.max(pds)
     if axis is not None:
         # marginals/cap diagnostics are per-shard; reduce across the beam
         mq = lax.pmin(mq, axis)
+        mqc = lax.pmin(mqc, axis)
         pd = lax.pmax(pd, axis)
-    aux = dict(mq=mq, pd=pd, ovf=jnp.sum(ovfs.astype(jnp.int32)))
+    aux = dict(mq=mq, mqc=mqc, pd=pd, ovf=jnp.sum(ovfs.astype(jnp.int32)))
     return out, aux
 
 
@@ -358,8 +367,8 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
         return beam, aux
 
     beam, auxs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
-    aux = dict(mq=jnp.min(auxs["mq"]), pd=jnp.max(auxs["pd"]),
-               ovf=jnp.sum(auxs["ovf"]))
+    aux = dict(mq=jnp.min(auxs["mq"]), mqc=jnp.min(auxs["mqc"]),
+               pd=jnp.max(auxs["pd"]), ovf=jnp.sum(auxs["ovf"]))
     return beam, aux
 
 
@@ -383,12 +392,13 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
     crossing costs ~50 ms over a tunneled accelerator link). This is the
     spectrum-mode analogue of :func:`full_search_scan`.
 
-    Record layout per site (int32, width 4C + 3M + 4):
+    Record layout per site (int32, width 4C + 3M + 5):
       [src(C) | indc(C) | slot(C) | rep(M) | prob-bits(C) |
-       out_prob-bits(M) | out_valid(M) | count, disc_cut, disc_m, minP bits]
+       out_prob-bits(M) | out_valid(M) | count, disc_cut, disc_m, minP,
+       minP_core bits]
     float entries are f32 bit patterns.
 
-    Returns (beam', records (Nx, 4C+3M+4) i32).
+    Returns (beam', records (Nx, 4C+3M+5) i32).
     """
     RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
     Np = row_tabs["lB"].shape[1]
@@ -440,13 +450,17 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
         RL_new = engine.rl_update(RL[src[rep]], AT, vind_new[:, nx])
         aidx_new = aidx[src[rep]]
         minP = jnp.min(jnp.where(valid, mPn, 0.0))
+        bmax = jnp.max(jnp.where(valid, prob, NEG))
+        core = valid & (prob > bmax + log2_cutoff)
+        minP_core = jnp.min(jnp.where(core, mPn, 0.0))
 
         rec = jnp.concatenate([
             src, indc, slot, rep.astype(jnp.int32),
             _f32bits(vals_c), _f32bits(prob_out),
             out_valid.astype(jnp.int32),
             jnp.stack([count.astype(jnp.int32), _f32bits(disc_cut),
-                       _f32bits(disc_m), _f32bits(minP)]),
+                       _f32bits(disc_m), _f32bits(minP),
+                       _f32bits(minP_core)]),
         ])
         return (RL_new, vind_new, Eng_out, prob_out, out_valid,
                 aidx_new), rec
@@ -499,7 +513,7 @@ def _pack_result(beam, aux):
     single device->host pull instead of six (each pull costs ~50 ms over a
     tunneled accelerator link). Layout: [states(M*L) | Eng-bits(M) |
     prob-bits(M) | deg-limbs(M*DEG_LIMBS) | valid(M) |
-    mq-bits, pd-bits, ovf (3)]."""
+    mq-bits, mqc-bits, pd-bits, ovf (4)]."""
     return jnp.concatenate([
         beam["states"].reshape(-1),
         _f32bits(beam["Eng"]),
@@ -507,6 +521,7 @@ def _pack_result(beam, aux):
         beam["deg"].astype(jnp.int32).reshape(-1),
         beam["valid"].astype(jnp.int32),
         _f32bits(jnp.reshape(aux["mq"], (1,))),
+        _f32bits(jnp.reshape(aux["mqc"], (1,))),
         _f32bits(jnp.reshape(aux["pd"], (1,))),
         jnp.reshape(aux["ovf"], (1,)).astype(jnp.int32),
     ])
@@ -522,10 +537,11 @@ def _unpack_result(packed, M, L):
         packed[o + 2 * M:o + (2 + DEG_LIMBS) * M].reshape(M, DEG_LIMBS))
     valid = packed[o + (2 + DEG_LIMBS) * M:
                    o + (3 + DEG_LIMBS) * M].astype(bool)
-    mq = float(packed[-3:-2].view(np.float32)[0])
+    mq = float(packed[-4:-3].view(np.float32)[0])
+    mqc = float(packed[-3:-2].view(np.float32)[0])
     pd = float(packed[-2:-1].view(np.float32)[0])
     ovf = int(packed[-1])
-    return states, Eng, prob, deg, valid, mq, pd, ovf
+    return states, Eng, prob, deg, valid, mq, mqc, pd, ovf
 
 
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
@@ -599,12 +615,13 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
             beam, aux = step(beam, row)
             auxs.append(aux)  # no host sync inside the row loop
         aux_dev = dict(mq=jnp.min(jnp.stack([a["mq"] for a in auxs])),
+                       mqc=jnp.min(jnp.stack([a["mqc"] for a in auxs])),
                        pd=jnp.max(jnp.stack([a["pd"] for a in auxs])),
                        ovf=jnp.sum(jnp.stack([a["ovf"] for a in auxs])))
 
     if ctx.dtype == jnp.float32:
         # one packed pull (Eng/prob are f32 on device anyway)
-        states, Eng, prob, deg, valid, mq, pd, ovf = _unpack_result(
+        states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
             _pack_result(beam, aux_dev), M, Nx * Ny)
         globalmin = min(0.0, mq)
     else:
@@ -614,6 +631,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         deg = deg_decode(beam["deg"])
         states = np.asarray(beam["states"])
         globalmin = min(0.0, float(aux_dev["mq"]))
+        mqc = float(aux_dev["mqc"])
         pd = float(aux_dev["pd"])
         ovf = int(aux_dev["ovf"])
     Eng = Eng[valid]
@@ -624,6 +642,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     return dict(energy=Eng[best], states=states[best], prob=prob[best],
                 degeneracy=int(deg[best]),
                 negative_probability=min(globalmin, 0.0),
+                negative_probability_core=min(mqc, 0.0),
                 discarded_probability=pd, merge_overflow=ovf)
 
 
@@ -802,6 +821,9 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     globalmin = np.minimum(np.asarray(
         jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
         dtype=np.float64), 0.0)
+    gmc = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mqc"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
     pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
                     dtype=np.float64)
     ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
@@ -817,6 +839,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         out.append(dict(energy=Eng[b, best], states=states[b, best],
                         prob=prob[b, best], degeneracy=int(deg[b, best]),
                         negative_probability=float(globalmin[b]),
+                        negative_probability_core=float(gmc[b]),
                         discarded_probability=float(pd[b]),
                         merge_overflow=int(ovf[b])))
     return out
@@ -935,6 +958,9 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
     globalmin = np.minimum(np.asarray(
         jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
         dtype=np.float64), 0.0)
+    gmc = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mqc"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
     pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
                     dtype=np.float64)
     ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
@@ -950,6 +976,7 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
         out.append(dict(energy=Eng[b, best], states=states[b, best],
                         prob=prob[b, best], degeneracy=int(deg[b, best]),
                         negative_probability=float(globalmin[b]),
+                        negative_probability_core=float(gmc[b]),
                         discarded_probability=float(pd[b]),
                         merge_overflow=int(ovf[b])))
     return out
@@ -971,7 +998,8 @@ def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):
                      RRs=P("data"), Es=P("data"), Esl=P("data"),
                      Esu=P("data"), dmap=P("data"), rmap=P("data"),
                      nvalid=P("data"), cols=P("data"))
-    aux_specs = dict(mq=P("data"), pd=P("data"), ovf=P("data"))
+    aux_specs = dict(mq=P("data"), mqc=P("data"), pd=P("data"),
+                     ovf=P("data"))
 
     def one_instance(beam, row):
         return row_step(beam, row, M=M, Nx=Nx, bits=bits,

@@ -123,7 +123,9 @@ def expand_candidates(Pn_d, mPn_d, prob, K, n, Np, M, relative_P_cutoff,
     survive the cutoff, preserving the reference's exact semantics
     (`tnac4o/tnac4o.py:456-465`).
 
-    Returns (inds, indc, probf, pd_max, minP).
+    Returns (inds, indc, probf, pd_max, minP, minP_core). ``minP_core`` is
+    the negativeness statistic restricted to branches within the relative
+    cutoff window of the best branch (see `engine.expand_topk`).
     """
     kk = min(CAND_CAP, Pn_d.shape[0] * Np)
     # the packed path trades probf precision down to f32 — exactly what the
@@ -139,20 +141,28 @@ def expand_candidates(Pn_d, mPn_d, prob, K, n, Np, M, relative_P_cutoff,
         vals = packed[:kk].astype(np.float64)
         idx = packed[kk:2 * kk].view(np.int32)
         count, minP = int(packed[2 * kk]), float(packed[2 * kk + 1])
+        minP_core = float(packed[2 * kk + 2])
         if count < kk:
             keep = max(count, 1)
             if keep < K * n:
                 pd_max = max(pd_max, vals[keep])
             inds = idx[:keep] // Np
             indc = (idx[:keep] % Np).astype(np.int32)
-            return inds, indc, vals[:keep], pd_max, minP
+            return inds, indc, vals[:keep], pd_max, minP, minP_core
     # exact fallback: full marginal table on the host
     Pn = np.asarray(Pn_d[:K, :n], dtype=np.float64)
-    minP = float(np.min(np.asarray(mPn_d[:K])))
+    mPn = np.asarray(mPn_d[:K], dtype=np.float64)
+    minP = float(np.min(mPn))
+    if relative_P_cutoff > 0:
+        core = prob > prob.max() + np.log2(relative_P_cutoff)
+        minP_core = float(np.min(mPn[core], initial=0.0))
+    else:
+        minP_core = minP
     with np.errstate(divide="ignore"):
         probf = (np.log2(Pn) + prob[:, None]).ravel()
     order, probf, pd_max = cutoff_select(probf, relative_P_cutoff, pd_max)
-    return order // n, (order % n).astype(np.int32), probf, pd_max, minP
+    return (order // n, (order % n).astype(np.int32), probf, pd_max, minP,
+            minP_core)
 
 
 def cutoff_select(probf, relative_P_cutoff, pd_max):
@@ -229,6 +239,11 @@ class SearchResult:
     # candidate cap, and the largest such count (sizes the retry).
     merge_overflow: int = 0
     count_max: int = 0
+    # negativeness restricted to branches within the relative cutoff window
+    # (raw negative_probability keeps reference parity but saturates at -1
+    # in f32 for tail branches below the compressed boundary's noise floor;
+    # this one stays informative — see engine.expand_topk)
+    negative_probability_core: float = 0.0
 
 
 def search_ground_state(ctx: ContractionContext, M=2 ** 10,
@@ -261,7 +276,7 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
     Eng = np.zeros(1)
     prob = np.zeros(1)
     deg = np.ones(1, dtype=np.int64)
-    pd_max, globalmin = -np.inf, 0.0
+    pd_max, globalmin, globalmin_core = -np.inf, 0.0, 0.0
     ny_start = 0
     if resume and checkpoint_path:
         ck = np.load(checkpoint_path)
@@ -269,6 +284,8 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
         vind, states = ck["vind"], ck["states"]
         Eng, prob, deg = ck["Eng"], ck["prob"], ck["deg"]
         pd_max, globalmin = float(ck["pd_max"]), float(ck["globalmin"])
+        if "globalmin_core" in ck:
+            globalmin_core = float(ck["globalmin_core"])
         logger.info("Resuming from row %d (%s)", ny_start, checkpoint_path)
 
     D = ctx.Dmax
@@ -292,10 +309,11 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
             Pn_d, mPn_d = engine.marginal_site(
                 ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
                 RL, RRs[nx], idx3, n)
-            inds, indc, probf, pd_max, minP = expand_candidates(
+            inds, indc, probf, pd_max, minP, minP_core = expand_candidates(
                 Pn_d, mPn_d, prob, K, n, ctx.Np, M, relative_P_cutoff,
                 pd_max)
             globalmin = min(globalmin, minP)
+            globalmin_core = min(globalmin_core, minP_core)
             states = states[inds]
             states[:, ny * Nx + nx] = indc
             vind = vind[inds]
@@ -335,7 +353,7 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
         if checkpoint_path:
             np.savez(checkpoint_path, ny=ny + 1, vind=vind, states=states,
                      Eng=Eng, prob=prob, deg=deg, pd_max=pd_max,
-                     globalmin=globalmin)
+                     globalmin=globalmin, globalmin_core=globalmin_core)
         if _stop_after_rows is not None and ny + 1 >= _stop_after_rows:
             break
 
@@ -343,4 +361,5 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
     return SearchResult(
         energy=Eng, probability=prob, degeneracy=int(deg[0]),
         states=states, discarded_probability=float(pd_max),
-        negative_probability=min(globalmin, 0.0))
+        negative_probability=min(globalmin, 0.0),
+        negative_probability_core=min(globalmin_core, 0.0))

@@ -50,6 +50,11 @@ class Solver:
         self.states = np.zeros((0, Nx * Ny), dtype=np.int32)
         self.discarded_probability = 0.0
         self.negative_probability = 0.0
+        # negativeness over branches within the cutoff window only — the
+        # raw flag above keeps reference parity (tnac4o.py:131-137) but in
+        # f32 saturates for tail branches below the compressed boundary's
+        # noise floor (round-2 diagnosis, tools/negp_probe.py)
+        self.negative_probability_core = 0.0
         self.merge_overflow = 0
         self.problem = None
         self._gauges = None
@@ -195,6 +200,7 @@ class Solver:
             self.states = states[:, self.order]
             self.discarded_probability = r["discarded_probability"]
             self.negative_probability = r["negative_probability"]
+            self.negative_probability_core = r["negative_probability_core"]
             return self.energy
         res = _search.search_ground_state(
             ctx, M=M, relative_P_cutoff=relative_P_cutoff, min_dEng=min_dEng,
@@ -206,6 +212,7 @@ class Solver:
         self.states = res.states[:, self.order]
         self.discarded_probability = res.discarded_probability
         self.negative_probability = res.negative_probability
+        self.negative_probability_core = res.negative_probability_core
         return self.energy
 
     def gibbs_sampling(self, M=2 ** 10, graduate_truncation=True, Dmax=32,
@@ -303,6 +310,7 @@ class Solver:
         self.states = res.states[:, self.order]
         self.discarded_probability = res.discarded_probability
         self.negative_probability = res.negative_probability
+        self.negative_probability_core = res.negative_probability_core
         self.merge_overflow = res.merge_overflow
         return self.energy
 
@@ -334,6 +342,7 @@ class Solver:
             "degeneracy": self.degeneracy, "states": self.states,
             "discarded_probability": self.discarded_probability,
             "negative_probability": self.negative_probability,
+            "negative_probability_core": self.negative_probability_core,
             "Nx": self.Nx_model, "Ny": self.Ny_model, "Nc": self.Nc,
             "beta": self.beta,
         }
@@ -364,6 +373,8 @@ class Solver:
             print("log2(Probability) : %0.2e" % self.probability[0])
             print("Discarder log2(P) : %0.2e" % self.discarded_probability)
             print("Min P (err)       : %0.2e" % self.negative_probability)
+            print("Min P (core)      : %0.2e"
+                  % self.negative_probability_core)
             print("# of states       : %1d" % len(self.energy))
             print("Rotation/direction: %1d" % self.rotation)
             if state:
@@ -411,6 +422,8 @@ def load(file_name):
     ins.states = d["states"]
     ins.discarded_probability = d["discarded_probability"]
     ins.negative_probability = d["negative_probability"]
+    # absent in files written by the reference (raw flag only there)
+    ins.negative_probability_core = d.get("negative_probability_core", 0.0)
     if d["mode"] == "Ising":
         ins.ind0 = d.get("ind")
     if "excitations_encoding" in d:

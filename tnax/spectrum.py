@@ -594,7 +594,7 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
     Eng = np.zeros(1)
     prob = np.zeros(1)
     deg = np.ones(1, dtype=np.int64)
-    pd_max, globalmin = -np.inf, 1.0
+    pd_max, globalmin, globalmin_core = -np.inf, 1.0, 0.0
     exc_init(ins)
     if ee > 1:
         reset_adjacency(ins, ins.problem.J if ins.mode == "Ising" else None,
@@ -620,10 +620,11 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
             Pn_d, mPn_d = engine.marginal_site(
                 ctx.lB[ny, nx], ctx.drindex[ny, nx], AT_row[nx],
                 RL, RRs[nx], idx3, n)
-            inds, indc, probf, pd_max, minP = expand_candidates(
+            inds, indc, probf, pd_max, minP, minP_core = expand_candidates(
                 Pn_d, mPn_d, prob, K, n, ctx.Np, M, relative_P_cutoff,
                 pd_max)
             globalmin = min(globalmin, minP)
+            globalmin_core = min(globalmin_core, minP_core)
             states = states[inds]
             states[:, ny * Nx + nx] = indc
             vind = vind[inds]
@@ -689,7 +690,8 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
     return SearchResult(
         energy=Eng, probability=prob, degeneracy=int(deg[0]), states=states,
         discarded_probability=float(pd_max),
-        negative_probability=min(globalmin, 0.0))
+        negative_probability=min(globalmin, 0.0),
+        negative_probability_core=min(globalmin_core, 0.0))
 
 
 def device_search_spectrum(ins, ctx: ContractionContext,
@@ -772,7 +774,7 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     out_valid[0] = True
     out_prob = np.full(M, par.NEG)
     out_prob[0] = 0.0
-    pd_max, globalmin = -np.inf, 1.0
+    pd_max, globalmin, globalmin_core = -np.inf, 1.0, 0.0
     overflow, count_max = 0, 0
     negp_site = (0, 0)
 
@@ -789,9 +791,9 @@ def device_search_spectrum(ins, ctx: ContractionContext,
             out_prob = r[4 * C + M:4 * C + 2 * M].view(np.float32) \
                 .astype(np.float64)
             out_valid = r[4 * C + 2 * M:4 * C + 3 * M].astype(bool)
-            count = int(r[-4])
-            disc_cut, disc_m, minP = (float(x) for x in
-                                      r[-3:].view(np.float32))
+            count = int(r[-5])
+            disc_cut, disc_m, minP, minP_core = (
+                float(x) for x in r[-4:].view(np.float32))
             if count > C:
                 overflow += 1
             count_max = max(count_max, count)
@@ -800,6 +802,7 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                     pd_max = max(pd_max, disc)
             if minP < globalmin:
                 globalmin, negp_site = minP, (ny, nx)
+            globalmin_core = min(globalmin_core, minP_core)
 
             Es, Esl, Esu = ctx.energy_tables(ny, nx)
             n = len(Es)
@@ -896,8 +899,10 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     if globalmin < -0.5:
         logger.warning(
             "negative_probability %.3g saturated at site (ny=%d, nx=%d) — "
-            "at least one live branch's conditional fully clamped at the "
-            "compute dtype's precision", globalmin, *negp_site)
+            "a tail branch below the f32 boundary noise floor fully "
+            "clamped (harmless for the recorded spectrum; within-cutoff "
+            "negativeness negative_probability_core=%.3g)",
+            globalmin, *negp_site, globalmin_core)
     if _os.environ.get("TNAX_SPECTRUM_TIMING"):
         logger.info("host replay phase: %.2f s", time.time() - t_replay)
     logger.info("Spectrum search total: %.2f s", time.time() - t_total)
@@ -910,4 +915,5 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         degeneracy=int(deg_h[keep[0]]), states=states_h[keep],
         discarded_probability=float(pd_max),
         negative_probability=min(globalmin, 0.0),
+        negative_probability_core=min(globalmin_core, 0.0),
         merge_overflow=overflow, count_max=count_max)

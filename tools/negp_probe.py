@@ -152,7 +152,7 @@ def main():
                     hits.append(rep)
                     print(json.dumps(rep), flush=True)
 
-            inds, indc, probf, pd_max, minP = expand_candidates(
+            inds, indc, probf, pd_max, minP, _mPc = expand_candidates(
                 Pn_d, mPn_d, prob, K, n, ctx.Np, M, args.cutoff, pd_max)
             globalmin = min(globalmin, minP)
             states = states[inds]
