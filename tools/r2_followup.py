@@ -75,6 +75,34 @@ def spectrum_l2048():
     return rec
 
 
+def gs_timing():
+    """Warm L2048 GS wall-clock at the bench operating point (D=32, M=1024,
+    P=1e-8, precondition included) — the BENCH metric, measured in-process
+    where compiles are already amortized."""
+    J = tnax.load_Jij(
+        "/root/reference/instances/Chimera_droplet_instances/"
+        "chimera2048_spinglass_power/001.txt")
+    J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
+    from tnax import parallel
+    times = []
+    for it in range(3):
+        t0 = time.time()
+        ins = tnax.Solver(mode="Ising", Nx=16, Ny=16, Nc=8, J=J, beta=3)
+        ins.precondition(mode="balancing")
+        ctx = ins._context()
+        r = parallel.device_search_gs(ctx, M=1024, relative_P_cutoff=1e-8,
+                                      Dmax=32)
+        ins.states = r["states"][None, :][:, ins.order]
+        E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+        times.append(round(time.time() - t0, 2))
+    rec = dict(times=times, warm=min(times), E=E,
+               match=bool(abs(E + 3336.77333333) < 1e-4),
+               vs_ref=round(318.31 / min(times), 1))
+    with open(os.path.join(RESULTS, "bench_probe.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print("# gs_timing:", json.dumps(rec), flush=True)
+
+
 def c16_sweep(n=200):
     path = os.path.join(RESULTS, "j124_C16.jsonl")
     done = 0
@@ -88,13 +116,16 @@ def c16_sweep(n=200):
 
 
 def main():
-    only = os.environ.get("R2_STAGES", "retry,spectrum,c16").split(",")
+    only = os.environ.get("R2_STAGES", "retry,spectrum,bench,c16").split(",")
     if "retry" in only:
         print("== stage 1: L2048 escalation retries ==", flush=True)
         retry_l2048([26, 98, 99])
     if "spectrum" in only:
         print("== stage 2: L2048 spectrum rerun (auto_grow) ==", flush=True)
         spectrum_l2048()
+    if "bench" in only:
+        print("== stage 2b: warm L2048 GS timing ==", flush=True)
+        gs_timing()
     if "c16" in only:
         print("== stage 3: J124 C16 ensemble ==", flush=True)
         c16_sweep()
