@@ -159,14 +159,18 @@ def run_j124_batched(C, n, D, M, precondition, start=1):
     return results
 
 
-def run_j124(C, n, D, M, precondition, path="host", start=1):
+def run_j124(C, n, D, M, precondition, path="host", start=1,
+             cand_factor=8):
     """J124 degeneracy protocol: best energy + max degeneracy among the
     best over all 4 rotations (reference examples/e06...py:97-113).
 
     path='device' runs the throughput search — J124 energies are integers,
     exact in f32, and the device path's full-candidate-set merge with
     multi-limb counters makes degeneracy exact (C16 degeneracies exceed
-    int32)."""
+    int32). ``cand_factor=None`` merges the FULL post-cutoff candidate set
+    (no cap; exact reference semantics at higher sort cost) — use for
+    retries of instances whose first pass overflowed the cap and
+    undercounted degeneracy."""
     Nx = Ny = C
     oracle = j124_oracle(C)
     results = []
@@ -196,7 +200,8 @@ def run_j124(C, n, D, M, precondition, path="host", start=1):
                 ctx = ins._context()
                 r = parallel.device_search_gs(ctx, M=M,
                                               relative_P_cutoff=1e-8,
-                                              Dmax=D)
+                                              Dmax=D,
+                                              cand_factor=cand_factor)
                 ins.states = r["states"][None, :][:, ins.order]
                 E = float(tnax.energy_Jij(J, ins.binary_states())[0])
                 deg = r["degeneracy"]
@@ -233,6 +238,9 @@ if __name__ == "__main__":
                    help="comma-separated instance numbers")
     p.add_argument("--batch-rot", action="store_true",
                    help="j124: batch the 4 rotations in one device dispatch")
+    p.add_argument("--cand-factor", type=int, default=8,
+                   help="j124 merge candidate cap factor; 0 = uncapped "
+                        "(exact full-candidate-set merge)")
     p.add_argument("--no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True)
     args = p.parse_args()
@@ -252,7 +260,8 @@ if __name__ == "__main__":
                           escalate=args.escalate)
     else:
         res = run_j124(args.C, args.n, args.D or 48, args.M or 4096,
-                       args.pre, path=args.path, start=args.start)
+                       args.pre, path=args.path, start=args.start,
+                       cand_factor=args.cand_factor or None)
     n_ok = sum(r["ok"] for r in res)
     print(f"# conformance: {n_ok}/{len(res)} matched")
     sys.exit(0 if n_ok == len(res) else 1)
