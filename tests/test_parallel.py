@@ -227,3 +227,28 @@ def test_deg_limbs_roundtrip():
     pairs = jnp.asarray(enc[:32]) + jnp.asarray(enc[32:64])
     got = parallel.deg_decode(parallel._deg_carry(pairs))
     assert (got == vals[:32] + vals[32:64]).all()
+
+
+def test_gs_degeneracy_capped_vs_uncapped():
+    """The J124-C16 ensemble failure mode in miniature: with a candidate
+    cap small enough to drop degenerate candidates before the merge,
+    device GS degeneracy undercounts and merge_overflow flags it; the
+    uncapped full-candidate-set merge (cand_factor=None, reference
+    semantics tnac4o/tnac4o.py:481-526) recovers the exact count."""
+    rng = np.random.default_rng(11)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc, field=False)
+    J = [j for j in tnax.round_Jij(J, 1.0) if j[2] != 0]
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=1.5, J=J)
+    ins.search_ground_state(M=256, relative_P_cutoff=1e-14, Dmax=16)
+
+    ctx = ContractionContext(ins.problem, beta=1.5)
+    full = parallel.device_search_gs(ctx, M=256, relative_P_cutoff=1e-14,
+                                     Dmax=16, cand_factor=None)
+    assert full["merge_overflow"] == 0
+    assert full["degeneracy"] == ins.degeneracy
+
+    capped = parallel.device_search_gs(ctx, M=8, relative_P_cutoff=1e-14,
+                                       Dmax=16, cand_factor=1)
+    assert capped["merge_overflow"] > 0
+    assert capped["degeneracy"] <= ins.degeneracy
