@@ -1,17 +1,21 @@
 """Retry J124 instances whose first-pass degeneracy undercounted.
 
 Every first-pass miss has the EXACT oracle energy but a slightly low
-degeneracy, with hundreds of merge-cap overflows (cand = 8*M): degenerate
-candidates beyond the cap were dropped before the merge's segment-sum.
-Retry with a larger cap (cand_factor=64), escalating to the uncapped
-full-candidate-set merge (exact reference semantics,
-tnac4o/tnac4o.py:481-526) for any residual miss. One process per shape
-family amortizes the tunnel compiles.
+degeneracy. Measured escalation (results/j124_retry.jsonl): raising the
+merge candidate cap 8x (cand_factor=64) removed ~99% of cap overflows but
+left the counts byte-identical — the cap is NOT the cause. The undercount
+is an f32 beam-decision effect: degenerate branches with distinct boundary
+vectors get ordered by f32-noisy log2-probabilities at the cutoff/top-M
+boundary, and a few fall off the beam. The HOST path accumulates branch
+probabilities and energies in float64 (tnax/search.py, reference
+semantics) and recovered these counts exactly in round 1 (C16 #2 at D=48:
+620,232,704). So: retry misses through the host path — the same
+f32-device -> f64-host escalation ladder documented for the two hard
+L2048 droplet instances.
 
-Usage: python tools/r2_retry_j124.py > results/j124_retry.jsonl
+Usage: python tools/r2_retry_j124.py > results/j124_retry_host.jsonl
 """
 
-import json
 import os
 import sys
 
@@ -23,19 +27,8 @@ C16_MISSES = [2, 64, 66, 69, 76, 93, 113, 156]
 C12_MISSES = [27]
 
 
-def retry(C, misses):
-    residual = []
-    for k in misses:
-        r = run_j124(C, k, 48, 4096, True, path="device", start=k,
-                     cand_factor=64)[0]
-        if not r["ok"]:
-            residual.append(k)
-    for k in residual:
-        print(json.dumps({"escalating_uncapped": k}), flush=True)
-        run_j124(C, k, 48, 4096, True, path="device", start=k,
-                 cand_factor=None)
-
-
 if __name__ == "__main__":
-    retry(16, C16_MISSES)
-    retry(12, C12_MISSES)
+    for k in C16_MISSES:
+        run_j124(16, k, 48, 4096, True, path="host", start=k)
+    for k in C12_MISSES:
+        run_j124(12, k, 48, 4096, True, path="host", start=k)
