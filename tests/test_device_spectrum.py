@@ -109,6 +109,7 @@ def test_cap_overflow_flag_and_auto_grow():
 
     grown, Eg = run(auto_grow=True, cand_factor=1)
     assert grown.merge_overflow == 0
-    full, Ef = run(auto_grow=False, cand_factor=None or 512)
+    full, Ef = run(auto_grow=False, cand_factor=None)  # uncapped M*Np
+    assert full.merge_overflow == 0
     assert len(Eg) == len(Ef)
     assert np.allclose(np.sort(Eg), np.sort(Ef), atol=1e-9)

@@ -46,7 +46,6 @@ def test_sharded_search_end_to_end():
     on a (2, 4) data x beam mesh matches the single-chip device search,
     including degeneracy counts."""
     mesh = parallel.make_mesh(2, 4)
-    ctxs, _ = _instances(2, Nx=3, Ny=3, Nc=2, beta=1.5)
     # degenerate couplings to exercise merge/degeneracy across shards
     ctxs2 = []
     for s in range(2):

@@ -491,7 +491,10 @@ def variational_compress(mps: MPS, phi: jax.Array, *, tol: float,
     def cond(st):
         going = (st[3] > tol) & (st[5] < max_sweeps)
         if plateau:
-            going = going & (st[3] < st[7] * 0.9)
+            # st[7] holds the previous sweep's diff only from the second
+            # sweep on (the first body consumes the init sentinel), so the
+            # plateau test must not fire before two measured diffs exist
+            going = going & ((st[5] < 2) | (st[3] < st[7] * 0.9))
         return going
 
     def body(st):
@@ -777,7 +780,10 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
     def cond(st):
         going = (st[3] > tol) & (st[5] < max_sweeps)
         if plateau:
-            going = going & (st[3] < st[7] * 0.9)
+            # st[7] holds the previous sweep's diff only from the second
+            # sweep on (the first body consumes the init sentinel), so the
+            # plateau test must not fire before two measured diffs exist
+            going = going & ((st[5] < 2) | (st[3] < st[7] * 0.9))
         return going
 
     def body(st):

@@ -230,9 +230,13 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         if axis is not None:
             pmax = lax.pmax(pmax, axis)
         cutoff = pmax + log2_cutoff
-        count = jnp.sum(probf > cutoff)
-        if axis is not None:
-            count = lax.psum(count, axis)
+        # truncation happens per shard at C_local, so the cap diagnostics
+        # (overflow flag + first-casualty probability) must gate on the
+        # LOCAL survivor count — the global count can sit below C_total
+        # while one shard still drops real candidates
+        count_local = jnp.sum(probf > cutoff)
+        count = lax.psum(count_local, axis) if axis is not None \
+            else count_local
 
         # local top-cand candidates (+1 to observe the first casualty of
         # the cap for the pd diagnostic)
@@ -240,8 +244,8 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         vals, idx = lax.top_k(probf, k)
         disc_cap = jnp.asarray(NEG, vals.dtype)
         if C_local < Ml * Np:
-            disc_cap = jnp.where(count > C_local, vals[min(C_local, k - 1)],
-                                 disc_cap)
+            disc_cap = jnp.where(count_local > C_local,
+                                 vals[min(C_local, k - 1)], disc_cap)
         vals_c, idx_c = vals[:C_local], idx[:C_local]
         src = (idx_c // Np).astype(jnp.int32)
         indc = (idx_c % Np).astype(jnp.int32)
@@ -310,7 +314,10 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         core = valid & (prob > bmax + log2_cutoff)
         mqc = jnp.min(jnp.where(core, mPn, 0.0))
         pd = jnp.maximum(disc_cap, disc_m)
-        ovf = count > C_total
+        # a site overflows if ANY shard truncated post-cutoff candidates
+        ovf = count_local > C_local
+        if axis is not None:
+            ovf = lax.pmax(ovf.astype(jnp.int32), axis) > 0
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
                 aidx_m), (mq, mqc, pd, ovf)
 
@@ -733,6 +740,36 @@ def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
                 negative_probability=min(0.0, float(jnp.min(jnp.stack(mqs)))))
 
 
+def _assemble_batched_results(beam, auxs, B):
+    """Reduce per-row aux diagnostics and pick each instance's best branch
+    — shared result assembly of multi_search_gs / sharded_search_gs."""
+    globalmin = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
+    gmc = np.minimum(np.asarray(
+        jnp.min(jnp.stack([a["mqc"] for a in auxs]), axis=0),
+        dtype=np.float64), 0.0)
+    pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
+                    dtype=np.float64)
+    ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
+    out = []
+    valid = np.asarray(beam["valid"])
+    Eng = np.asarray(beam["Eng"], dtype=np.float64)
+    prob = np.asarray(beam["prob"], dtype=np.float64)
+    deg = deg_decode(beam["deg"])
+    states = np.asarray(beam["states"])
+    for b in range(B):
+        v = valid[b]
+        best = int(np.argmin(np.where(v, Eng[b], np.inf)))
+        out.append(dict(energy=Eng[b, best], states=states[b, best],
+                        prob=prob[b, best], degeneracy=int(deg[b, best]),
+                        negative_probability=float(globalmin[b]),
+                        negative_probability_core=float(gmc[b]),
+                        discarded_probability=float(pd[b]),
+                        merge_overflow=int(ovf[b])))
+    return out
+
+
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                     graduate_truncation=True, mesh=None, cand_factor=8):
@@ -818,31 +855,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         beam, aux = stepB(beam, row)
         auxs.append(aux)  # no host sync inside the row loop
 
-    globalmin = np.minimum(np.asarray(
-        jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
-        dtype=np.float64), 0.0)
-    gmc = np.minimum(np.asarray(
-        jnp.min(jnp.stack([a["mqc"] for a in auxs]), axis=0),
-        dtype=np.float64), 0.0)
-    pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
-                    dtype=np.float64)
-    ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
-    out = []
-    valid = np.asarray(beam["valid"])
-    Eng = np.asarray(beam["Eng"], dtype=np.float64)
-    prob = np.asarray(beam["prob"], dtype=np.float64)
-    deg = deg_decode(beam["deg"])
-    states = np.asarray(beam["states"])
-    for b in range(B):
-        v = valid[b]
-        best = int(np.argmin(np.where(v, Eng[b], np.inf)))
-        out.append(dict(energy=Eng[b, best], states=states[b, best],
-                        prob=prob[b, best], degeneracy=int(deg[b, best]),
-                        negative_probability=float(globalmin[b]),
-                        negative_probability_core=float(gmc[b]),
-                        discarded_probability=float(pd[b]),
-                        merge_overflow=int(ovf[b])))
-    return out
+    return _assemble_batched_results(beam, auxs, B)
 
 
 # ---------------------------------------------------------------------------
@@ -955,31 +968,7 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
         beam, aux = step(beam, row)
         auxs.append(aux)  # no host sync inside the row loop
 
-    globalmin = np.minimum(np.asarray(
-        jnp.min(jnp.stack([a["mq"] for a in auxs]), axis=0),
-        dtype=np.float64), 0.0)
-    gmc = np.minimum(np.asarray(
-        jnp.min(jnp.stack([a["mqc"] for a in auxs]), axis=0),
-        dtype=np.float64), 0.0)
-    pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
-                    dtype=np.float64)
-    ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
-    out = []
-    valid = np.asarray(beam["valid"])
-    Eng = np.asarray(beam["Eng"], dtype=np.float64)
-    prob = np.asarray(beam["prob"], dtype=np.float64)
-    deg = deg_decode(beam["deg"])
-    states = np.asarray(beam["states"])
-    for b in range(B):
-        v = valid[b]
-        best = int(np.argmin(np.where(v, Eng[b], np.inf)))
-        out.append(dict(energy=Eng[b, best], states=states[b, best],
-                        prob=prob[b, best], degeneracy=int(deg[b, best]),
-                        negative_probability=float(globalmin[b]),
-                        negative_probability_core=float(gmc[b]),
-                        discarded_probability=float(pd[b]),
-                        merge_overflow=int(ovf[b])))
-    return out
+    return _assemble_batched_results(beam, auxs, B)
 
 
 def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):

@@ -727,7 +727,10 @@ def device_search_spectrum(ins, ctx: ContractionContext,
 
     Ny, Nx, Np = ctx.Ny, ctx.Nx, ctx.Np
     dtype = ctx.dtype
-    C = int(min(cand_factor * M, M * Np))
+    # cand_factor=None = the full M*Np expansion (uncapped, exact
+    # reference merge semantics) — same contract as device_search_gs
+    C = int(M * Np) if cand_factor is None \
+        else int(min(cand_factor * M, M * Np))
     bits = max(1, int(np.ceil(np.log2(max(ctx.lh, ctx.lv)))))
     log2_cutoff = float(np.log2(relative_P_cutoff)) \
         if relative_P_cutoff > 0 else par.NEG

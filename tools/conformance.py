@@ -248,6 +248,12 @@ if __name__ == "__main__":
     if args.family == "j124" and args.batch_rot:
         res = run_j124_batched(args.C, args.n, args.D or 48,
                                args.M or 4096, args.pre, start=args.start)
+    elif args.only and args.family == "j124":
+        res = []
+        for k in (int(x) for x in args.only.split(",")):
+            res += run_j124(args.C, k, args.D or 48, args.M or 4096,
+                            args.pre, path=args.path, start=k,
+                            cand_factor=args.cand_factor or None)
     elif args.only:
         res = []
         for k in (int(x) for x in args.only.split(",")):
