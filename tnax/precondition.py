@@ -498,12 +498,11 @@ def _ladder_program(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
         lB, Wt = engine.peps_rows(Es, Esl, Esu, dmap, rmap, X["Xl"],
                                   X["Xr"], X["Xu"], X["Xd"], beta,
                                   lh=lh, lv=lv)
-        rhoT, _, _, _ = engine.build_rhoT(Wt, Dmax=Dmax, tolS=tolS,
-                                          tolV=tolV, max_sweeps=max_sweeps,
-                                          graduate=graduate)
-        rhoB, _, _ = engine.build_rhoB(Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
-                                       max_sweeps=max_sweeps,
-                                       graduate=graduate)
+        # both boundary stacks in one batched row scan (bit-identical to
+        # the separate builds; halves the sequential recurrence depth)
+        rhoT, rhoB = engine.build_rho_both(Wt, Dmax=Dmax, tolS=tolS,
+                                           tolV=tolV, max_sweeps=max_sweeps,
+                                           graduate=graduate)
         s2, s3, o1_2, o2_2, o1_3, o2_3 = jax.vmap(
             partial(_balance_one_interface, max_scale=max_scale))(
                 rhoB[1:Ny], rhoT[1:Ny], ndall)

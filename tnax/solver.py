@@ -53,7 +53,9 @@ class Solver:
         # negativeness over branches within the cutoff window only — the
         # raw flag above keeps reference parity (tnac4o.py:131-137) but in
         # f32 saturates for tail branches below the compressed boundary's
-        # noise floor (round-2 diagnosis, tools/negp_probe.py)
+        # noise floor; on the largest f32 workloads a within-window branch
+        # can clamp too, so a saturated core flag means "cross-check in
+        # f64" (tools/negp_probe.py), not "results are wrong"
         self.negative_probability_core = 0.0
         self.merge_overflow = 0
         self.problem = None
@@ -120,6 +122,15 @@ class Solver:
                      graduate_truncation=False, tolS=1e-16, tolV=1e-10,
                      max_sweeps=20, directions=("ud",), path=None):
         """Balancing preconditioner (reference `tnac4o/tnac4o.py:342-379`).
+
+        ``max_sweeps`` is a speed knob on the D=8 ladder builds: 1 saves
+        ~0.4 s per L2048 search but costs ~1-2 extra first-pass oracle
+        misses per 100 droplet instances (measured round 2,
+        results/droplet_L2048_ms1.jsonl — the escalation ladder still
+        recovers them); 0 (zip-up only) measurably degrades the gauges
+        (chimera-2048 instance 4 then misses at every rotation). The
+        default keeps the reference's fully converged compression, the
+        configuration behind the 900/900 conformance record.
 
         ``directions`` may include 'ud' and/or 'lr'; the reference runs only
         'ud' (its 'lr' call is commented out, `tnac4o/tnac4o.py:374-377`).
