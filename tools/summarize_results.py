@@ -1,7 +1,7 @@
 """Summarize conformance sweep JSONL files into a markdown table.
 
 Reads results/*.jsonl (written by tools/conformance.py via
-tools/sweep_r2.sh) and prints per-family match rates plus every miss,
+tools/run_conformance_all.sh) and prints per-family match rates plus every miss,
 ready to paste into PARITY.md.
 """
 
