@@ -384,9 +384,9 @@ def _f32bits(x):
 
 
 @partial(jax.jit, static_argnames=("M", "C", "Nx", "bits", "min_dEng",
-                                   "log2_cutoff"))
+                                   "log2_cutoff", "P"))
 def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
-                     min_dEng, log2_cutoff):
+                     min_dEng, log2_cutoff, P=None):
     """One lattice row of the search, emitting per-site decision records.
 
     The device makes every beam decision (cutoff, candidate cap C, merge by
@@ -399,18 +399,30 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
     crossing costs ~50 ms over a tunneled accelerator link). This is the
     spectrum-mode analogue of :func:`full_search_scan`.
 
-    Record layout per site (int32, width 4C + 3M + 5):
-      [src(C) | indc(C) | slot(C) | rep(M) | prob-bits(C) |
-       out_prob-bits(M) | out_valid(M) | count, disc_cut, disc_m, minP,
-       minP_core bits]
-    float entries are f32 bit patterns.
+    ``P`` (pull cap, default C) compacts the record: candidates are
+    stably sorted so the merged ones (slot >= 0) form a slot-ordered
+    prefix, and only the first P entries ship to the host. The record
+    transfer dominates the complete-tree mode's wall-clock over a
+    tunneled link (~26 MB/s measured), and typically only a few x M of
+    the C candidates merge into kept slots, so P << C loses nothing;
+    n_valid is in the record so the host can detect P-overflow exactly
+    (same retry contract as the merge cap).
 
-    Returns (beam', records (Nx, 4C+3M+5) i32).
+    Record layout per site (int32, width 4P + 3M + 6):
+      [src(P) | indc(P) | slot(P) | rep(M) | prob-bits(P) |
+       out_prob-bits(M) | out_valid(M) | n_valid, count, disc_cut,
+       disc_m, minP, minP_core bits]
+    float entries are f32 bit patterns; the prefix is sorted by slot with
+    the within-slot order preserving the global probability order (what
+    the host's former stable argsort produced).
+
+    Returns (beam', records (Nx, 4P+3M+6) i32).
     """
     RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
     Np = row_tabs["lB"].shape[1]
     D = AT_row.shape[1]
     dtype = AT_row.dtype
+    Pc = C if P is None else min(P, C)
 
     def site(carry, xs):
         RL, vind, Eng, prob, valid, aidx = carry
@@ -461,11 +473,26 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
         core = valid & (prob > bmax + log2_cutoff)
         minP_core = jnp.min(jnp.where(core, mPn, 0.0))
 
+        # compact: merged candidates (slot >= 0) first, ordered by slot;
+        # jnp.argsort is stable, so within a slot the original top-k
+        # (descending-probability) order is preserved. rep is remapped
+        # into compacted coordinates so the host indexes the P-arrays
+        # directly.
+        n_valid = jnp.sum(slot >= 0)
+        take_full = jnp.argsort(jnp.where(slot >= 0, slot, C))
+        take = take_full[:Pc]
+        invtake = jnp.zeros((C,), jnp.int32).at[take_full].set(
+            jnp.arange(C, dtype=jnp.int32))
+        # clamp inside the pulled prefix: a rep beyond it can only occur
+        # when n_valid > P, which flags the record for the exactness retry
+        rep_c = jnp.clip(jnp.where(out_valid, invtake[rep], 0),
+                         0, Pc - 1).astype(jnp.int32)
         rec = jnp.concatenate([
-            src, indc, slot, rep.astype(jnp.int32),
-            _f32bits(vals_c), _f32bits(prob_out),
+            src[take], indc[take], slot[take], rep_c,
+            _f32bits(vals_c[take]), _f32bits(prob_out),
             out_valid.astype(jnp.int32),
-            jnp.stack([count.astype(jnp.int32), _f32bits(disc_cut),
+            jnp.stack([n_valid.astype(jnp.int32),
+                       count.astype(jnp.int32), _f32bits(disc_cut),
                        _f32bits(disc_m), _f32bits(minP),
                        _f32bits(minP_core)]),
         ])

@@ -731,6 +731,12 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     # reference merge semantics) — same contract as device_search_gs
     C = int(M * Np) if cand_factor is None \
         else int(min(cand_factor * M, M * Np))
+    # pull cap: the device compacts each site's record to the merged
+    # candidates (slot-sorted prefix); over a tunneled link the record
+    # transfer dominates the complete-tree mode (~26 MB/s measured), and
+    # typically only a few x M of the C candidates merge into kept slots.
+    # n_valid > P flags the record exactly like a merge-cap overflow.
+    P = int(min(C, max(16 * M, -(-C // 8))))
     bits = max(1, int(np.ceil(np.log2(max(ctx.lh, ctx.lv)))))
     log2_cutoff = float(np.log2(relative_P_cutoff)) \
         if relative_P_cutoff > 0 else par.NEG
@@ -751,7 +757,8 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                         rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny])
         beam, recs = par.row_records_prog(
             beam, row_tabs, ctx.rhoT[ny + 1], ctx.Wt[ny], M=M, C=C, Nx=Nx,
-            bits=bits, min_dEng=float(min_dEng), log2_cutoff=log2_cutoff)
+            bits=bits, min_dEng=float(min_dEng), log2_cutoff=log2_cutoff,
+            P=P)
         rec_handles.append(recs)
 
     import os as _os
@@ -786,20 +793,25 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         R = np.asarray(rec_handles[ny])     # one pull per row
         for nx in range(Nx):
             r = R[nx]
-            src = r[:C]
-            indc = r[C:2 * C]
-            slot = r[2 * C:3 * C]
-            rep = r[3 * C:3 * C + M]
-            cprob = r[3 * C + M:4 * C + M].view(np.float32).astype(np.float64)
-            out_prob = r[4 * C + M:4 * C + 2 * M].view(np.float32) \
+            src = r[:P]
+            indc = r[P:2 * P]
+            slot = r[2 * P:3 * P]
+            rep = r[3 * P:3 * P + M]
+            cprob = r[3 * P + M:4 * P + M].view(np.float32).astype(np.float64)
+            out_prob = r[4 * P + M:4 * P + 2 * M].view(np.float32) \
                 .astype(np.float64)
-            out_valid = r[4 * C + 2 * M:4 * C + 3 * M].astype(bool)
+            out_valid = r[4 * P + 2 * M:4 * P + 3 * M].astype(bool)
+            n_valid = int(r[-6])
             count = int(r[-5])
             disc_cut, disc_m, minP, minP_core = (
                 float(x) for x in r[-4:].view(np.float32))
-            if count > C:
+            if count > C or n_valid > P:
                 overflow += 1
             count_max = max(count_max, count)
+            if n_valid > P:
+                # size the auto-grow retry so the grown pull cap
+                # (max(16M, C'/8)) covers this site's merged-candidate set
+                count_max = max(count_max, 4 * n_valid)
             for disc in (disc_cut, disc_m):
                 if disc > par.NEG / 2:
                     pd_max = max(pd_max, disc)
@@ -814,10 +826,10 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                 + Esu[ic, vind_h[src, nx + 1]]
             col = ny * Nx + nx
 
-            # grouping of candidates by output slot
-            order = np.argsort(slot, kind="stable")
-            first = np.searchsorted(slot[order], 0)
-            gidx = order[first:]
+            # the record's prefix is already the merged candidates sorted
+            # by slot (device-side compaction), so grouping is a prefix
+            # slice — no host sort
+            gidx = np.arange(min(n_valid, P))
             gsl = slot[gidx]
             starts = np.flatnonzero(np.r_[True, gsl[1:] != gsl[:-1]])
             ends = np.r_[starts[1:], len(gsl)]
