@@ -113,3 +113,46 @@ def test_cap_overflow_flag_and_auto_grow():
     assert full.merge_overflow == 0
     assert len(Eg) == len(Ef)
     assert np.allclose(np.sort(Eg), np.sort(Ef), atol=1e-9)
+
+
+def test_pull_cap_overflow_and_recovery():
+    """Blocks whose 8 active spins expose only ONE boundary spin map 256
+    block states onto 2x2 boundary keys, so nearly every candidate merges
+    into a kept slot: the compacted record's pull cap (P = max(16M, C/8)
+    when C < M*Np) overflows via n_valid even though the merge cap C does
+    not. auto_grow must escalate to the full expansion (where compaction
+    is disabled) and deliver a complete tree."""
+    rng = np.random.default_rng(2)
+    Nx = Ny = 2
+    Nc = 8
+    J = []
+    for ny in range(Ny):
+        for nx in range(Nx):
+            b = Nc * (Nx * ny + nx)
+            for a in range(Nc):        # intra: keep all 8 spins active
+                for c in range(a + 1, Nc):
+                    J.append([b + a, b + c, float(rng.normal()) * 0.1])
+            if nx + 1 < Nx:            # inter: spin 0 only -> leg dim 2
+                J.append([b, Nc * (Nx * ny + nx + 1), 0.1])
+            if ny + 1 < Ny:
+                J.append([b, Nc * (Nx * (ny + 1) + nx), 0.1])
+
+    def run(cand_factor, auto_grow):
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=0.5)
+        ins.search_low_energy_spectrum(
+            excitations_encoding=1, M=4, relative_P_cutoff=1e-12, Dmax=8,
+            max_dEng=2.0, path="device", cand_factor=cand_factor,
+            auto_grow=auto_grow)
+        ins.decode_low_energy_states(max_dEng=2.0)
+        return ins
+
+    capped = run(cand_factor=64, auto_grow=False)   # C=256 < M*Np, P=64
+    assert capped.merge_overflow > 0                # n_valid > P flagged
+
+    grown = run(cand_factor=64, auto_grow=True)
+    assert grown.merge_overflow == 0
+    full = run(cand_factor=None, auto_grow=False)   # direct full expansion
+    assert full.merge_overflow == 0
+    assert len(grown.energy) == len(full.energy)
+    assert np.allclose(np.sort(grown.energy), np.sort(full.energy),
+                       atol=1e-9)

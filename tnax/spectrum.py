@@ -735,8 +735,10 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     # candidates (slot-sorted prefix); over a tunneled link the record
     # transfer dominates the complete-tree mode (~26 MB/s measured), and
     # typically only a few x M of the C candidates merge into kept slots.
-    # n_valid > P flags the record exactly like a merge-cap overflow.
-    P = int(min(C, max(16 * M, -(-C // 8))))
+    # n_valid > P flags the record exactly like a merge-cap overflow. At
+    # the full M*Np expansion (auto_grow's terminal attempt) compaction is
+    # disabled so the final retry is unconditionally complete.
+    P = C if C >= M * Np else int(min(C, max(16 * M, -(-C // 8))))
     bits = max(1, int(np.ceil(np.log2(max(ctx.lh, ctx.lv)))))
     log2_cutoff = float(np.log2(relative_P_cutoff)) \
         if relative_P_cutoff > 0 else par.NEG
@@ -877,6 +879,12 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                             ii = int(l_idx[t])
                             dpos = cols_nz[bounds[t]:bounds[t + 1]] \
                                 .astype(np.int64)
+                            if dpos.size == 0:
+                                # a loser identical to its representative
+                                # carries no droplet; only reachable when
+                                # a pull-cap overflow clamped the rep (the
+                                # record is flagged for retry anyway)
+                                continue
                             losers.append((l_cdE[t], dpos,
                                            dx[t, dpos].astype(np.int64),
                                            cprob[ii] - out_prob[kk],
