@@ -111,6 +111,67 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
     return results
 
 
+def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
+                        start=1):
+    """Droplet conformance in fleet mode: instances are searched in
+    `multi_search_gs` batches (the production throughput path — BASELINE
+    north-star '100 instances x 4 rotations'), with the rotation-retry
+    protocol applied wave by wave: rotation r only re-runs the instances
+    still missing after rotation r-1, so matched instances cost one search
+    each while stragglers escalate."""
+    from tnax import parallel
+    Nx, Ny, Nc = SHAPES[L]
+    oracle = droplet_oracle(L)
+    t00 = time.time()
+    Js, best, rot_used = {}, {}, {}
+    for k in range(start, n + 1):
+        f = os.path.join(INST, "Chimera_droplet_instances",
+                         f"chimera{L}_spinglass_power", "%03d.txt" % k)
+        Js[k] = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
+        best[k] = np.inf
+    pending = sorted(Js)
+    for rot in range(max_rot):
+        if not pending:
+            break
+        for lo in range(0, len(pending), batch):
+            group = pending[lo:lo + batch]
+            solvers, ctxs = [], []
+            for k in group:
+                ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
+                                  J=Js[k], beta=3)
+                if rot:
+                    ins.rotate_graph(rot=rot)
+                if precondition:
+                    ins.precondition(mode="balancing")
+                solvers.append(ins)
+                ctxs.append(ins._context())
+            rs = parallel.multi_search_gs(ctxs, M=M,
+                                          relative_P_cutoff=1e-8, Dmax=D)
+            for k, ins, r in zip(group, solvers, rs):
+                ins.states = np.asarray(r["states"])[None, :][:, ins.order]
+                E = float(tnax.energy_Jij(Js[k], ins.binary_states())[0])
+                if E < best[k] - 1e-9:
+                    best[k], rot_used[k] = E, rot
+        pending = [k for k in pending
+                   if abs(best[k] - oracle[k]) >= 1e-4]
+        print(json.dumps({"rot": rot, "pending_after": len(pending)}),
+              flush=True)
+    results = []
+    for k in sorted(Js):
+        ok = abs(best[k] - oracle[k]) < 1e-4
+        results.append(dict(instance=k, energy=best[k],
+                            rot=rot_used.get(k, 0), oracle=oracle[k],
+                            ok=bool(ok)))
+        print(json.dumps(results[-1]), flush=True)
+    n_ok = sum(r["ok"] for r in results)
+    dt = time.time() - t00
+    print(json.dumps({"fleet_summary": f"{n_ok}/{len(results)}",
+                      "total_s": round(dt, 1),
+                      "inst_per_min": round(60 * len(results) / dt, 1)}),
+          flush=True)
+    return results
+
+
 def run_j124_batched(C, n, D, M, precondition, start=1):
     """J124 protocol with all 4 rotations of an instance batched through
     `parallel.multi_search_gs` in ONE device dispatch (rotations of a
@@ -238,6 +299,9 @@ if __name__ == "__main__":
                    help="comma-separated instance numbers")
     p.add_argument("--batch-rot", action="store_true",
                    help="j124: batch the 4 rotations in one device dispatch")
+    p.add_argument("--fleet", type=int, default=0, metavar="B",
+                   help="droplet: search instances in multi_search_gs "
+                        "batches of B (production fleet mode)")
     p.add_argument("--cand-factor", type=int, default=8,
                    help="j124 merge candidate cap factor; 0 = uncapped "
                         "(exact full-candidate-set merge)")
@@ -260,6 +324,10 @@ if __name__ == "__main__":
             res += run_droplet(args.L, k, args.D or 32, args.M or 1024,
                                args.path, args.pre, start=k,
                                escalate=args.escalate)
+    elif args.family == "droplet" and args.fleet:
+        res = run_droplet_batched(args.L, args.n, args.D or 32,
+                                  args.M or 1024, args.pre,
+                                  batch=args.fleet, start=args.start)
     elif args.family == "droplet":
         res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
                           args.path, args.pre, start=args.start,
