@@ -135,16 +135,22 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
             break
         for lo in range(0, len(pending), batch):
             group = pending[lo:lo + batch]
-            solvers, ctxs = [], []
+            solvers = []
             for k in group:
                 ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
                                   J=Js[k], beta=3)
                 if rot:
                     ins.rotate_graph(rot=rot)
-                if precondition:
-                    ins.precondition(mode="balancing")
                 solvers.append(ins)
-                ctxs.append(ins._context())
+            if precondition:
+                # whole batch's beta ladders in ONE vmapped device program
+                # (bit-identical to per-instance Solver.precondition)
+                from tnax import precondition as pre
+                betas = [3 * 2.0 ** (nn - 2) for nn in range(2)]
+                for ins, X in zip(solvers, pre.precondition_fleet(
+                        [s.problem for s in solvers], betas)):
+                    ins._gauges = X
+            ctxs = [ins._context() for ins in solvers]
             rs = parallel.multi_search_gs(ctxs, M=M,
                                           relative_P_cutoff=1e-8, Dmax=D)
             for k, ins, r in zip(group, solvers, rs):
