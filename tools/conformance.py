@@ -136,7 +136,12 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
         for lo in range(0, len(pending), batch):
             group = pending[lo:lo + batch]
             solvers = []
-            for k in group:
+            # pad the final partial batch to the full width (repeat the
+            # last instance; its duplicate results are ignored) so only
+            # ONE batch shape compiles — a second program set for the
+            # remainder costs minutes over the tunnel
+            padded = group + [group[-1]] * (batch - len(group))
+            for k in padded:
                 ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
                                   J=Js[k], beta=3)
                 if rot:
