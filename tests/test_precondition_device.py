@@ -101,3 +101,27 @@ def test_ladder_program_matches_per_rung():
     assert len(ov_b) == 2
     for a, b in zip(ov_a, ov_b):
         assert np.allclose(a, b, rtol=1e-6, atol=1e-9)
+
+
+def test_precondition_fleet_parity():
+    """precondition_fleet (one vmapped ladder program over the instance
+    axis) is bit-identical per instance to precondition_ladder_device —
+    the batched lax.while_loop masks converged lanes."""
+    import tnax
+    from tnax import engine, precondition as pre
+
+    problems = []
+    for i in (1, 2):
+        J = tnax.load_Jij(
+            "/root/reference/instances/Chimera_droplet_instances/"
+            "chimera128_spinglass_power/%03d.txt" % i)
+        J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
+        ins = tnax.Solver(mode="Ising", Nx=4, Ny=4, Nc=8, J=J, beta=3)
+        problems.append(ins.problem)
+    betas = [0.75, 1.5]
+    fleet = pre.precondition_fleet(problems, betas)
+    for p, Xf in zip(problems, fleet):
+        Xs = pre.precondition_ladder_device(
+            p, betas, engine.identity_gauges(engine.pad_grid(p)))
+        for k in Xs:
+            assert np.array_equal(Xs[k], Xf[k]), k
