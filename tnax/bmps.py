@@ -602,7 +602,7 @@ def _rsvd(Gm: jax.Array, k: int, key, iters: int = 2):
 
 
 def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
-                tol: float):
+                tol: float, rsvd=None):
     """Left-to-right zip-up of W onto mps, truncated to bond Dmax.
 
     ``mps`` should enter right-canonical. Returns (MPS(bond=Dmax),
@@ -610,8 +610,10 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
 
     The per-site truncation uses a randomized sketch (:func:`_rsvd`,
     seeded deterministically per site) whenever the exact SVD core would
-    be much larger than the kept rank; set ``TNAX_ZIPUP_RSVD=0`` to force
-    exact SVDs everywhere.
+    be much larger than the kept rank. ``rsvd`` pins the choice
+    explicitly (True/False); ``None`` reads the ambient default
+    ``TNAX_ZIPUP_RSVD`` at trace time — callers that need bit-stable
+    output across processes should pass an explicit value.
     """
     import os as _os
     Wc = _orient_mpo(W, conj)
@@ -622,8 +624,9 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     tol = max(eps, tol)
     rows, cols = Dmax * du, D * lh
     k_sketch = min(min(rows, cols), Dmax + 32)
-    use_rsvd = (_os.environ.get("TNAX_ZIPUP_RSVD", "1") != "0"
-                and min(rows, cols) >= 2 * k_sketch)
+    if rsvd is None:
+        rsvd = _os.environ.get("TNAX_ZIPUP_RSVD", "1") != "0"
+    use_rsvd = bool(rsvd) and min(rows, cols) >= 2 * k_sketch
     keys = jax.random.split(jax.random.PRNGKey(0), L)
 
     T0 = jnp.zeros((Dmax, D, lh), dtype=dtype).at[0, 0, 0].set(1.0)
@@ -801,14 +804,15 @@ def variational_implicit(mps: MPS, phi_A: jax.Array, W: jax.Array, *,
 
 
 def compress_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
-                   tolS: float, tolV: float, max_sweeps: int):
+                   tolS: float, tolV: float, max_sweeps: int, rsvd=None):
     """Apply one MPO row to an MPS and compress to Dmax, fat-MPS-free.
 
     Right-canonize (cheap, small bonds), zip-up truncate to Dmax, then
     variational sweeps against the implicit target until the Schmidt-vector
     change drops below a dtype-aware tolerance. Functional replacement for
     the reference's `apply_mpo` + `compress_mps` pair in the boundary-MPS
-    build (`tnac4o/tnac4o.py:1688-1693`).
+    build (`tnac4o/tnac4o.py:1688-1693`). ``rsvd`` pins the zip-up's
+    randomized-sketch choice (None = ambient TNAX_ZIPUP_RSVD default).
     """
     eps = float(jnp.finfo(mps.A.dtype).eps)
     tolS = max(tolS, eps)
@@ -818,7 +822,7 @@ def compress_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     # to Dmax — the cheap analogue of the reference's graduate truncation
     # (`tnac4o/mps.py:194-198`); the variational sweeps polish from there.
     Dz = 2 * Dmax
-    out, disc = zipup_apply(mps, W, Dz, conj=conj, tol=tolS / 10)
+    out, disc = zipup_apply(mps, W, Dz, conj=conj, tol=tolS / 10, rsvd=rsvd)
     out, disc2 = canonize_right(out, compress=True, cap=Dmax, tol=tolS)
     disc = jnp.maximum(disc, disc2)
     out = slice_bond(out, Dmax)

@@ -141,19 +141,20 @@ def peps_rows(Es, Esl, Esu, dmap, rmap, Xl, Xr, Xu, Xd, beta, *, lh, lv):
 
 
 def _absorb_row(mps, Wrow, conj, Dmax, tolS, tolV, max_sweeps, graduate,
-                method):
+                method, rsvd=None):
     if method == "zipup":
         return bmps.compress_apply(mps, Wrow, Dmax, conj=conj, tolS=tolS,
-                                   tolV=tolV, max_sweeps=max_sweeps)
+                                   tolV=tolV, max_sweeps=max_sweeps,
+                                   rsvd=rsvd)
     fat = bmps.apply_mpo(mps, Wrow, conj=conj)
     return bmps.compress(fat, Dmax, tolS=tolS, tolV=tolV,
                          max_sweeps=max_sweeps, graduate=graduate)
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate", "method"))
+                                   "graduate", "method", "rsvd"))
 def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
-               method="zipup"):
+               method="zipup", rsvd=None):
     """Boundary-MPS stack from the bottom edge upward.
 
     Wt: (Ny, Nx, lh, lv, lh, lv) traced row tensors.
@@ -172,7 +173,7 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
     def step(mps, Wrow):
         new, overlap, disc = _absorb_row(mps, Wrow, True, Dmax, tolS, tolV,
-                                         max_sweeps, graduate, method)
+                                         max_sweeps, graduate, method, rsvd)
         return new, (new.A, new.lognorm, overlap, disc)
 
     _, (As, lns, ovs, dss) = lax.scan(step, mps0, Wt, reverse=True)
@@ -182,9 +183,9 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate", "method"))
+                                   "graduate", "method", "rsvd"))
 def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
-               method="zipup"):
+               method="zipup", rsvd=None):
     """Boundary-MPS stack from the top edge downward (mirror of
     :func:`build_rhoT`; reference `_setup_rhoB`,
     `tnac4o/tnac4o.py:1697-1718`). rhoB[ny] contracts rows 0..ny-1; its
@@ -195,7 +196,7 @@ def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
     def step(mps, Wrow):
         new, overlap, disc = _absorb_row(mps, Wrow, False, Dmax, tolS, tolV,
-                                         max_sweeps, graduate, method)
+                                         max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
     _, (As, ovs, dss) = lax.scan(step, mps0, Wt)
@@ -204,9 +205,9 @@ def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate", "method"))
+                                   "graduate", "method", "rsvd"))
 def build_rho_both(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
-                   method="zipup"):
+                   method="zipup", rsvd=None):
     """Both boundary stacks (rhoT and rhoB) in ONE batched row scan.
 
     A conj=False (bottom) row absorption is identically a conj=True (top)
@@ -230,7 +231,7 @@ def build_rho_both(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     mps0x2 = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), mps0)
 
     absorb = jax.vmap(lambda m, w: _absorb_row(
-        m, w, True, Dmax, tolS, tolV, max_sweeps, graduate, method))
+        m, w, True, Dmax, tolS, tolV, max_sweeps, graduate, method, rsvd))
 
     def step(mps2, Wrows):
         new, _, _ = absorb(mps2, Wrows)
@@ -252,9 +253,9 @@ def columns_view(Wt):
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate", "method"))
+                                   "graduate", "method", "rsvd"))
 def build_rhoL(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
-               method="zipup"):
+               method="zipup", rsvd=None):
     """Boundary-MPS stack from the left edge rightward (reference
     `_setup_rhoL`, `tnac4o/tnac4o.py:1720-1742`). rhoL[nx] contracts
     columns 0..nx-1; physical legs on the left-legs of column nx."""
@@ -264,7 +265,7 @@ def build_rhoL(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
     def step(mps, Wcol):
         new, overlap, disc = _absorb_row(mps, Wcol, True, Dmax, tolS, tolV,
-                                         max_sweeps, graduate, method)
+                                         max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
     _, (As, ovs, dss) = lax.scan(step, mps0, Wc)
@@ -273,9 +274,9 @@ def build_rhoL(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
 
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
-                                   "graduate", "method"))
+                                   "graduate", "method", "rsvd"))
 def build_rhoR(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
-               method="zipup"):
+               method="zipup", rsvd=None):
     """Boundary-MPS stack from the right edge leftward (reference
     `_setup_rhoR`, `tnac4o/tnac4o.py:1744-1766`). rhoR[nx] contracts
     columns nx..Nx-1; physical legs on the left-legs of column nx."""
@@ -285,7 +286,7 @@ def build_rhoR(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
 
     def step(mps, Wcol):
         new, overlap, disc = _absorb_row(mps, Wcol, False, Dmax, tolS, tolV,
-                                         max_sweeps, graduate, method)
+                                         max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
     _, (As, ovs, dss) = lax.scan(step, mps0, Wc, reverse=True)

@@ -29,8 +29,8 @@ Degeneracy counting on device uses base-2^12 multi-limb int32 arrays
 (:func:`deg_ones` / :func:`deg_decode`): measured chimera degeneracies
 already exceed 2^30 (J124 C16: 1,371,340,800) and ensembles overflow
 int32, while jax's int64 is unavailable with x64 disabled (the TPU
-compute mode). Four limbs give exact counts to 2^48; the host paths use
-plain int64 (`tnax/search.py`).
+compute mode). Five limbs give exact counts to 2^60 (measured ensembles
+reach 2^43); the host paths use plain int64 (`tnax/search.py`).
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ from . import engine
 NEG = -1e30  # effectively -inf log2 probability
 
 # --- multi-limb degeneracy counters (exact beyond int32 without x64) -------
-DEG_LIMBS = 4   # 4 x 12 bits = exact to 2^48
+DEG_LIMBS = 5   # 5 x 12 bits = exact to 2^60 (measured ensembles reach 2^43)
 DEG_BITS = 12
 DEG_MASK = (1 << DEG_BITS) - 1
 
@@ -79,9 +79,38 @@ def deg_encode(vals):
     return limbs
 
 
+def _deg_seg_sum(deg, near, seg, C):
+    """Segment-sum of degeneracy limbs over merge groups, exact for any
+    static candidate count C: limbs are < 2^12 each, so a single int32
+    segment-sum is exact only while C <= 2^19; beyond that each limb is
+    split into 6-bit halves summed separately (partial sums < C * 2^6 —
+    exact to C = 2^25, far past the largest expansion M=16384 x Np=256 =
+    2^22) and carry-propagated in base 2^6 during recombination, so no
+    intermediate exceeds int32 while the true total fits int64."""
+    masked = jnp.where(near[:, None], deg, 0)
+    if C <= (1 << (31 - DEG_BITS)):
+        return jax.ops.segment_sum(masked, seg, num_segments=C)
+    lo = jax.ops.segment_sum(masked & 0x3F, seg, num_segments=C)
+    hi = jax.ops.segment_sum(masked >> 6, seg, num_segments=C)
+    outs = []
+    carry = jnp.zeros(lo.shape[:-1], lo.dtype)
+    for i in range(DEG_LIMBS):
+        s0 = lo[..., i] + carry
+        d0 = s0 & 0x3F
+        carry = s0 >> 6
+        s1 = hi[..., i] + carry
+        if i < DEG_LIMBS - 1:
+            d1 = s1 & 0x3F
+            carry = s1 >> 6
+        else:
+            d1 = s1      # top limb keeps the remainder (int64 decode)
+        outs.append(d0 | (d1 << 6))
+    return jnp.stack(outs, axis=-1)
+
+
 def _deg_carry(limbs):
-    """Propagate carries after a limb-wise sum (each limb < 2^31; safe for
-    candidate sets up to 2^(31-DEG_BITS) = 524288 members)."""
+    """Propagate carries after a limb-wise sum (each limb < 2^31; exact
+    because :func:`_deg_seg_sum` bounds the incoming limb sums)."""
     outs = []
     carry = jnp.zeros(limbs.shape[:-1], limbs.dtype)
     for i in range(DEG_LIMBS - 1):
@@ -164,10 +193,7 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
     prob_out = jnp.where(out_valid, gvals, NEG)
     deg_out = None
     if deg is not None:
-        ds = deg[perm]                                   # (C, DEG_LIMBS)
-        deg_seg = jax.ops.segment_sum(
-            jnp.where(near[:, None], ds, 0), seg, num_segments=C)
-        deg_seg = _deg_carry(deg_seg)
+        deg_seg = _deg_carry(_deg_seg_sum(deg[perm], near, seg, C))
         deg_out = jnp.where(out_valid[:, None], deg_seg[gidx], 0)
     return slot, rep, prob_out, Eng_out, out_valid, disc, deg_out
 
@@ -177,7 +203,7 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
 # ---------------------------------------------------------------------------
 
 def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
-             axis=None, beam_shards=1):
+             axis=None, beam_shards=1, select="compact"):
     """Process one full lattice row of the beam search on device.
 
     beam: dict with
@@ -234,25 +260,60 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         # (overflow flag + first-casualty probability) must gate on the
         # LOCAL survivor count — the global count can sit below C_total
         # while one shard still drops real candidates
-        count_local = jnp.sum(probf > cutoff)
-        count = lax.psum(count_local, axis) if axis is not None \
-            else count_local
+        live = probf > NEG / 2
+        flag = (probf > cutoff) & live
+        count_local = jnp.sum(flag)
 
-        # local top-cand candidates (+1 to observe the first casualty of
-        # the cap for the pd diagnostic)
-        k = min(C_local + 1, Ml * Np)
-        vals, idx = lax.top_k(probf, k)
-        disc_cap = jnp.asarray(NEG, vals.dtype)
-        if C_local < Ml * Np:
-            disc_cap = jnp.where(count_local > C_local,
-                                 vals[min(C_local, k - 1)], disc_cap)
-        vals_c, idx_c = vals[:C_local], idx[:C_local]
+        if select == "compact":
+            # O(N) cumsum compaction of the post-cutoff survivor set —
+            # replaces the O(N log N) top-k sort over the full M*Np
+            # expansion (the round-2 profile's dominant search-scan
+            # cost; the merge re-sorts by boundary-index key, so
+            # survivor order is irrelevant). When more than C_local
+            # survive, the kept subset is the first in index order
+            # rather than the most probable — reachable only with the
+            # ovf flag raised, i.e. under the existing exactness-retry
+            # contract.
+            pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
+            kept = flag & (pos < C_local)
+            dest = jnp.where(kept, pos, C_local)
+            vals_c = jnp.full((C_local + 1,), NEG, probf.dtype) \
+                .at[dest].set(jnp.where(kept, probf, NEG))[:C_local]
+            idx_c = jnp.zeros((C_local + 1,), jnp.int32) \
+                .at[dest].set(jnp.arange(Ml * Np,
+                                         dtype=jnp.int32))[:C_local]
+            # largest candidate dropped by the cap ...
+            disc_cap = jnp.max(jnp.where(flag & ~kept, probf, NEG))
+            # ... and by the relative cutoff itself — the host path's
+            # pd_max bookkeeping (expand_candidates; reference
+            # tnac4o/tnac4o.py:456-465)
+            disc_cut = jnp.max(jnp.where(live & ~flag, probf, NEG))
+            disc_cap = jnp.maximum(disc_cap, disc_cut)
+            # kept slots are above-cutoff survivors of live parents by
+            # construction; empty slots hold NEG
+            cvalid = vals_c > NEG / 2
+        else:
+            # prob-ordered top-cand candidates (+1 to observe the first
+            # casualty of the cap for the pd diagnostic)
+            k = min(C_local + 1, Ml * Np)
+            vals, idx = lax.top_k(probf, k)
+            disc_cap = jnp.asarray(NEG, vals.dtype)
+            if C_local < Ml * Np:
+                disc_cap = jnp.where(count_local > C_local,
+                                     vals[min(C_local, k - 1)], disc_cap)
+            disc_cut = jnp.where(
+                count_local < Ml * Np,
+                vals[jnp.clip(count_local, 0, k - 1)],
+                jnp.asarray(NEG, vals.dtype))
+            disc_cap = jnp.maximum(disc_cap, disc_cut)
+            vals_c, idx_c = vals[:C_local], idx[:C_local]
+            cvalid = valid[(idx_c // Np).astype(jnp.int32)] \
+                & (vals_c > cutoff) & (vals_c > NEG / 2)
+            # the best branch always survives, even below cutoff
+            # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
+            cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
         src = (idx_c // Np).astype(jnp.int32)
         indc = (idx_c % Np).astype(jnp.int32)
-        cvalid = valid[src] & (vals_c > cutoff) & (vals_c > NEG / 2)
-        # the best branch always survives, even below cutoff
-        # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
-        cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
 
         rowsC = jnp.arange(C_local)
         E_cand = Eng[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
@@ -344,9 +405,9 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
 
 
 @partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
-                                   "log2_cutoff", "cand"))
+                                   "log2_cutoff", "cand", "select"))
 def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
-                     log2_cutoff, cand=None):
+                     log2_cutoff, cand=None, select="compact"):
     """The ENTIRE ground-state search as one jitted program: lax.scan over
     lattice rows, each row computing its right environments and running
     :func:`row_step`'s site scan. One device dispatch per search.
@@ -370,7 +431,7 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
         row = dict(row_tabs, AT=AT_row, RRs=RRs)
         beam, aux = row_step(beam, row, M=M, Nx=Nx, bits=bits,
                              min_dEng=min_dEng, log2_cutoff=log2_cutoff,
-                             cand=cand)
+                             cand=cand, select=select)
         return beam, aux
 
     beam, auxs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
@@ -580,7 +641,8 @@ def _unpack_result(packed, M, L):
 
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                     graduate_truncation=True, fused=True, cand_factor=8):
+                     graduate_truncation=True, fused=True, cand_factor=8,
+                     select="compact"):
     """Fully device-resident ground-state search (throughput mode).
 
     Single-chip driver around :func:`row_step`: the beam never leaves the
@@ -613,7 +675,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
 
     step = jax.jit(partial(row_step, M=M, Nx=Nx, bits=bits,
                            min_dEng=min_dEng, log2_cutoff=log2_cutoff,
-                           cand=cand))
+                           cand=cand, select=select))
 
     beam = dict(
         RL=jnp.zeros((M, D), dtype).at[:, 0].set(1.0),
@@ -632,7 +694,8 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         beam, aux_dev = full_search_scan(beam, grid_in, ctx.rhoT, ctx.Wt,
                                          M=M, Nx=Nx, bits=bits,
                                          min_dEng=min_dEng,
-                                         log2_cutoff=log2_cutoff, cand=cand)
+                                         log2_cutoff=log2_cutoff, cand=cand,
+                                         select=select)
     else:
         auxs = []
         for ny in range(Ny):
@@ -799,7 +862,8 @@ def _assemble_batched_results(beam, auxs, B):
 
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
-                    graduate_truncation=True, mesh=None, cand_factor=8):
+                    graduate_truncation=True, mesh=None, cand_factor=8,
+                    select="compact"):
     """Batched device-resident GS search over same-shape instances.
 
     The production fleet mode (BASELINE.md: 100 droplet instances x 4
@@ -851,7 +915,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     rhoT, _, _, _ = jax.jit(build)(Wt)            # (B, Ny+1, Nx, D, lv, D)
 
     step1 = partial(row_step, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
-                    log2_cutoff=log2_cutoff, cand=cand)
+                    log2_cutoff=log2_cutoff, cand=cand, select=select)
     stepB = jax.jit(jax.vmap(step1))
     envsB = jax.jit(jax.vmap(engine.row_right_envs))
 
@@ -906,7 +970,7 @@ def make_mesh(n_data, n_beam, devices=None):
 def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
                       min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
                       max_sweeps=20, graduate_truncation=True,
-                      cand_factor=8):
+                      cand_factor=8, select="compact"):
     """End-to-end multi-chip ground-state search over a ('data','beam')
     mesh: boundary-MPS stacks and row environments shard over instances
     ('data'); within each instance the beam's marginal evaluation shards
@@ -968,7 +1032,8 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
     envsB = jax.jit(jax.vmap(engine.row_right_envs),
                     out_shardings=data_sh)
     step = sharded_row_step(mesh, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
-                            log2_cutoff=log2_cutoff, cand=cand)
+                            log2_cutoff=log2_cutoff, cand=cand,
+                            select=select)
 
     beam = dict(
         RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
@@ -998,7 +1063,8 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
     return _assemble_batched_results(beam, auxs, B)
 
 
-def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):
+def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
+                     select="compact"):
     """jit-compiled row step over a ('data','beam') mesh.
 
     Beam state arrays carry a leading instance axis sharded over 'data' and
@@ -1020,7 +1086,8 @@ def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None):
     def one_instance(beam, row):
         return row_step(beam, row, M=M, Nx=Nx, bits=bits,
                         min_dEng=min_dEng, log2_cutoff=log2_cutoff,
-                        cand=cand, axis="beam", beam_shards=n_beam)
+                        cand=cand, axis="beam", beam_shards=n_beam,
+                        select=select)
 
     @partial(shard_map, mesh=mesh, in_specs=(beam_specs, row_specs),
              out_specs=(beam_specs, aux_specs), check_vma=False)
