@@ -768,7 +768,23 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         # split device wall from host replay (disables their overlap)
         rec_handles[-1].block_until_ready()
         logger.info("device phase done: %.2f s", time.time() - t_total)
-        t_replay = time.time()
+
+    return _replay_records(ins, ctx, rec_handles, ee, M=M, C=C, P=P,
+                           max_dEng=max_dEng, lim_hd=lim_hd,
+                           min_dEng=min_dEng, t_total=t_total)
+
+
+def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
+                    lim_hd, min_dEng, t_total):
+    """Host replay of per-row device decision records: exact float64
+    energies, states, degeneracies and droplet trees (the second half of
+    :func:`device_search_spectrum`, factored out so the batched fleet
+    driver :func:`multi_search_spectrum` can replay each instance of one
+    vmapped dispatch)."""
+    import os as _os
+    from . import parallel as par
+    Ny, Nx = ctx.Ny, ctx.Nx
+    t_replay = time.time()
 
     # host replay: exact f64 bookkeeping + droplet trees from the records
     exc_init(ins)
@@ -940,3 +956,90 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         negative_probability=min(globalmin, 0.0),
         negative_probability_core=min(globalmin_core, 0.0),
         merge_overflow=overflow, count_max=count_max)
+
+
+def multi_search_spectrum(inss, ctxs, excitations_encoding, M=2 ** 10,
+                          relative_P_cutoff=1e-6, max_dEng=0.0, lim_hd=0,
+                          min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
+                          max_sweeps=20, graduate_truncation=True,
+                          cand_factor=8):
+    """Batched device-record spectrum search over same-shape instances
+    (fleet spectrum — the production pattern of reference
+    `examples/e03_search_spectrum_droplet_instances.py:22-28`: 100
+    instances x rotations, each recording its droplet tree).
+
+    Every device stage — boundary-MPS stacks and the per-row decision
+    recorder :func:`tnax.parallel.row_records_prog` — is vmapped over the
+    instance axis exactly as `tnax.parallel.multi_search_gs` vmaps
+    `row_step`, so all B instances' beam decisions ride one device
+    dispatch per row; the host then replays each instance's exact f64
+    droplet bookkeeping from its slice of the records (the replay of
+    instance b overlaps the device work of rows already dispatched).
+
+    ``inss``/``ctxs`` are parallel lists of solver instances and their
+    contraction contexts. No auto-grow here: callers inspect each
+    result's ``merge_overflow`` and retry stragglers individually (the
+    fleet contract mirrors `multi_search_gs`). Returns a list of
+    SearchResult.
+    """
+    from functools import partial
+    import jax
+    from . import parallel as par
+    ee = excitations_encoding
+    assert inss and len(inss) == len(ctxs), "need parallel inss/ctxs lists"
+    c0 = ctxs[0]
+    for c in ctxs:
+        assert (c.Ny, c.Nx, c.Np, c.lh, c.lv) == \
+            (c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv), "instances must share shapes"
+    B = len(ctxs)
+    t_total = time.time()
+    Ny, Nx, Np = c0.Ny, c0.Nx, c0.Np
+    dtype = c0.dtype
+    C = int(M * Np) if cand_factor is None \
+        else int(min(cand_factor * M, M * Np))
+    P = C if C >= M * Np else int(min(C, max(16 * M, -(-C // 8))))
+    bits = max(1, int(np.ceil(np.log2(max(c0.lh, c0.lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else par.NEG
+
+    Wt = jnp.stack([c.Wt for c in ctxs])
+    lB = jnp.stack([c.lB for c in ctxs])
+    drindex = jnp.stack([c.drindex for c in ctxs])
+    eng_rows = [par._padded_energy_rows(c) for c in ctxs]
+    EsP = jnp.stack([e[0] for e in eng_rows])
+    EslP = jnp.stack([e[1] for e in eng_rows])
+    EsuP = jnp.stack([e[2] for e in eng_rows])
+    nvalid = jnp.stack([jnp.asarray(c.nstates, jnp.int32) for c in ctxs])
+    dmap = jnp.stack([jnp.asarray(c.dmap) for c in ctxs])
+    rmap = jnp.stack([jnp.asarray(c.rmap) for c in ctxs])
+
+    import jax.numpy as jnp_
+    build = jax.vmap(lambda w: engine.build_rhoT(
+        w, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation))
+    rhoT, _, _, _ = jax.jit(build)(Wt)           # (B, Ny+1, Nx, D, lv, D)
+
+    prog = partial(par.row_records_prog, M=M, C=C, Nx=Nx, bits=bits,
+                   min_dEng=float(min_dEng), log2_cutoff=log2_cutoff, P=P)
+    progB = jax.jit(jax.vmap(prog))
+
+    beam = dict(vind=jnp_.zeros((B, M, Nx + 1), jnp_.int32),
+                Eng=jnp_.zeros((B, M), dtype),
+                prob=jnp_.full((B, M), par.NEG, dtype).at[:, 0].set(0.0),
+                valid=jnp_.zeros((B, M), bool).at[:, 0].set(True))
+    rec_rows = []
+    for ny in range(Ny):
+        row_tabs = dict(lB=lB[:, ny], drindex=drindex[:, ny], Es=EsP[:, ny],
+                        Esl=EslP[:, ny], Esu=EsuP[:, ny], dmap=dmap[:, ny],
+                        rmap=rmap[:, ny], nvalid=nvalid[:, ny])
+        beam, recs = progB(beam, row_tabs, rhoT[:, ny + 1], Wt[:, ny])
+        rec_rows.append(recs)        # (B, Nx, 4P+3M+6) device handles
+
+    results = []
+    for b, (ins, ctx) in enumerate(zip(inss, ctxs)):
+        ins.excitations_encoding = ee
+        handles = [rec_rows[ny][b] for ny in range(Ny)]
+        results.append(_replay_records(
+            ins, ctx, handles, ee, M=M, C=C, P=P, max_dEng=max_dEng,
+            lim_hd=lim_hd, min_dEng=min_dEng, t_total=t_total))
+    return results
