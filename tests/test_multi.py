@@ -61,3 +61,28 @@ def test_sharded_search_end_to_end():
         assert r["energy"] == pytest.approx(single["energy"], abs=1e-9)
         assert r["degeneracy"] == single["degeneracy"]
         assert (r["states"] == single["states"]).all()
+
+
+def test_multi_sample_energies_consistent():
+    """Fleet Gibbs sampling (one vmapped dispatch for B instances): each
+    instance's reported energies match an independent recomputation from
+    the decoded spin states (the reference e02 consistency contract,
+    `examples/test_examples.py:36-56`), and a fixed seed is deterministic."""
+    Nx, Ny, Nc = 2, 2, 2
+    solvers, ctxs, Js = [], [], []
+    for s in range(3):
+        J = make_chimera_like(np.random.default_rng(s), Nx, Ny, Nc)
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        solvers.append(ins)
+        Js.append(J)
+        ctxs.append(ins._context())
+    rs = parallel.multi_sample(ctxs, M=32, Dmax=8, seed=3)
+    rs2 = parallel.multi_sample(ctxs, M=32, Dmax=8, seed=3)
+    for ins, J, r, r2 in zip(solvers, Js, rs, rs2):
+        assert r["states"].shape == (32, Nx * Ny)
+        assert (r["states"] == r2["states"]).all()
+        ins.states = r["states"][:, ins.order]
+        E2 = tnax.energy_Jij(J, ins.binary_states())
+        assert np.max(np.abs(r["energy"] - E2)) < 1e-9
+    # instances differ and walker streams differ across instances
+    assert not (rs[0]["states"] == rs[1]["states"]).all()

@@ -126,9 +126,15 @@ def _deg_carry(limbs):
 # ---------------------------------------------------------------------------
 
 def pack_keys(vind, bits):
-    """Pack (M, C) small-int rows into int32 lexicographic keys."""
+    """Pack (M, C) small-int rows into int32 grouping keys.
+
+    Only row EQUALITY matters downstream (equal rows must sort adjacent
+    for the segment reductions), so the packing uses the full 32 bits per
+    key — a wrapped sign bit permutes the sort order but keeps the
+    packing injective, which is all grouping needs. Fewer keys = fewer
+    stable sort passes inside `jnp.lexsort`."""
     M, C = vind.shape
-    per = max(1, 30 // bits)
+    per = max(1, 32 // bits)
     keys = []
     for lo in range(0, C, per):
         cols = vind[:, lo:lo + per].astype(jnp.int32)
@@ -159,7 +165,8 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
       deg_out (M, DEG_LIMBS) summed degeneracy limbs (None if ``deg`` is).
     """
     C = Eng.shape[0]
-    keys = pack_keys(vind, bits) + [jnp.where(valid, 0, 1).astype(jnp.int32)]
+    vcol = jnp.where(valid, 0, 1).astype(vind.dtype)[:, None]
+    keys = pack_keys(jnp.concatenate([vind, vcol], axis=1), bits)
     perm = jnp.lexsort(tuple(reversed(keys)))
     vs, Es, ps, vls = vind[perm], Eng[perm], prob[perm], valid[perm]
     neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
@@ -249,8 +256,8 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel, lidx,
                                        uidx, nvalid)
         logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
-        probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
-        probf = probf.reshape(Ml * Np)
+        probf2d = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
+        probf = probf2d.reshape(Ml * Np)
 
         pmax = jnp.max(probf)
         if axis is not None:
@@ -260,39 +267,52 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         # (overflow flag + first-casualty probability) must gate on the
         # LOCAL survivor count — the global count can sit below C_total
         # while one shard still drops real candidates
-        live = probf > NEG / 2
-        flag = (probf > cutoff) & live
-        count_local = jnp.sum(flag)
 
         if select == "compact":
-            # O(N) cumsum compaction of the post-cutoff survivor set —
-            # replaces the O(N log N) top-k sort over the full M*Np
+            # two-stage selection of the post-cutoff survivor set: a
+            # cheap batched per-branch sort over the Np-wide rows, then a
+            # sort-free global assembly (cumsum + binary search) —
+            # replacing the O(N log N) top-k over the full M*Np
             # expansion (the round-2 profile's dominant search-scan
-            # cost; the merge re-sorts by boundary-index key, so
+            # cost; the merge re-sorts by boundary-index key, so global
             # survivor order is irrelevant). When more than C_local
-            # survive, the kept subset is the first in index order
-            # rather than the most probable — reachable only with the
-            # ovf flag raised, i.e. under the existing exactness-retry
-            # contract.
-            pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
-            kept = flag & (pos < C_local)
-            dest = jnp.where(kept, pos, C_local)
-            vals_c = jnp.full((C_local + 1,), NEG, probf.dtype) \
-                .at[dest].set(jnp.where(kept, probf, NEG))[:C_local]
-            idx_c = jnp.zeros((C_local + 1,), jnp.int32) \
-                .at[dest].set(jnp.arange(Ml * Np,
-                                         dtype=jnp.int32))[:C_local]
-            # largest candidate dropped by the cap ...
-            disc_cap = jnp.max(jnp.where(flag & ~kept, probf, NEG))
+            # survive, the kept subset is branch-major (prob-ordered
+            # within a branch) rather than globally most-probable —
+            # reachable only with the ovf flag raised, i.e. under the
+            # existing exactness-retry contract.
+            svals, sidx = lax.top_k(probf2d, Np)    # per-branch, desc
+            live2 = svals > NEG / 2
+            flag2 = (svals > cutoff) & live2
+            # degenerate cutoffs (relative_P_cutoff >= 1): the best
+            # branch always survives (reference keep = max(count, 1),
+            # tnac4o/tnac4o.py:460)
+            flag2 = flag2 | ((svals == pmax) & live2)
+            count_local = jnp.sum(flag2)
+            c_b = jnp.sum(flag2, axis=1)            # survivors per branch
+            offs = jnp.cumsum(c_b)                  # inclusive
+            offs_excl = offs - c_b
+            j = jnp.arange(C_local)
+            b = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+                         0, Ml - 1).astype(jnp.int32)
+            r = jnp.clip(j - offs_excl[b], 0, Np - 1).astype(jnp.int32)
+            cvalid = j < jnp.minimum(count_local, C_local)
+            vals_c = jnp.where(cvalid, svals[b, r], NEG)
+            idx_c = jnp.where(cvalid, b * Np + sidx[b, r], 0)
+            # largest candidate dropped by the cap (flagged survivors
+            # past global position C_local) ...
+            gpos = offs_excl[:, None] + jnp.cumsum(
+                flag2.astype(jnp.int32), axis=1) - 1
+            disc_cap = jnp.max(jnp.where(flag2 & (gpos >= C_local),
+                                         svals, NEG))
             # ... and by the relative cutoff itself — the host path's
             # pd_max bookkeeping (expand_candidates; reference
             # tnac4o/tnac4o.py:456-465)
-            disc_cut = jnp.max(jnp.where(live & ~flag, probf, NEG))
+            disc_cut = jnp.max(jnp.where(live2 & ~flag2, svals, NEG))
             disc_cap = jnp.maximum(disc_cap, disc_cut)
-            # kept slots are above-cutoff survivors of live parents by
-            # construction; empty slots hold NEG
-            cvalid = vals_c > NEG / 2
         else:
+            live = probf > NEG / 2
+            flag = (probf > cutoff) & live
+            count_local = jnp.sum(flag)
             # prob-ordered top-cand candidates (+1 to observe the first
             # casualty of the cap for the pd diagnostic)
             k = min(C_local + 1, Ml * Np)
@@ -830,6 +850,93 @@ def device_sample(ctx, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
                 negative_probability=min(0.0, float(jnp.min(jnp.stack(mqs)))))
 
 
+@partial(jax.jit, static_argnames=("M", "Nx"))
+def full_sample_scan(beam0, grid_in, rhoT, Wt, key, *, M, Nx):
+    """The ENTIRE Gibbs sampling pass as one jitted program: lax.scan over
+    lattice rows around :func:`sample_rows` (sampling analogue of
+    :func:`full_search_scan`)."""
+    D = rhoT.shape[2]
+    dtype = rhoT.dtype
+
+    def one_row(carry, xs):
+        beam, key = carry
+        AT_row, Wt_row, row_tabs = xs
+        beam = dict(beam)
+        beam["RL"] = jnp.zeros((M, D), dtype).at[:, 0].set(1.0)
+        RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
+        row = dict(row_tabs, AT=AT_row, RRs=RRs)
+        beam, key, mq = sample_rows(beam, row, key, M=M, Nx=Nx)
+        return (beam, key), mq
+
+    (beam, key), mqs = lax.scan(one_row, (beam0, key),
+                                (rhoT[1:], Wt, grid_in))
+    return beam, jnp.min(mqs)
+
+
+@partial(jax.jit, static_argnames=("M", "Nx", "Dmax", "tolS", "tolV",
+                                   "max_sweeps", "graduate"))
+def _fleet_sample_prog(beam0, grid_in, Wt, keys, *, M, Nx, Dmax, tolS,
+                       tolV, max_sweeps, graduate):
+    """Boundary build + full sampling scan for a whole instance batch as
+    ONE jitted, vmapped program (sampling analogue of
+    :func:`_fleet_search_prog`)."""
+    def one(beam0_i, grid_i, Wt_i, key_i):
+        rhoT, _, _, _ = engine.build_rhoT(
+            Wt_i, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+            graduate=graduate)
+        return full_sample_scan(beam0_i, grid_i, rhoT, Wt_i, key_i,
+                                M=M, Nx=Nx)
+    return jax.vmap(one)(beam0, grid_in, Wt, keys)
+
+
+def multi_sample(ctxs, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
+                 max_sweeps=20, graduate_truncation=True, seed=0):
+    """Batched device-resident Gibbs sampling over same-shape instances
+    (fleet sampling — the reference's production pattern of
+    `examples/e02_sample_droplet_instances.py:23-27`, new batched design;
+    closes the GS-only fleet scope of round 2).
+
+    Each instance samples M independent walkers under its own PRNG
+    stream (fold_in of ``seed`` by instance index). Returns a list of
+    dicts (same schema as :func:`device_sample`).
+    """
+    assert ctxs, "need at least one context"
+    c0 = ctxs[0]
+    for c in ctxs:
+        assert (c.Ny, c.Nx, c.Np, c.lh, c.lv) == \
+            (c0.Ny, c0.Nx, c0.Np, c0.lh, c0.lv), "instances must share shapes"
+    B = len(ctxs)
+    Ny, Nx = c0.Ny, c0.Nx
+    dtype, D = c0.dtype, Dmax
+
+    Wt = jnp.stack([c.Wt for c in ctxs])
+    lB = jnp.stack([c.lB for c in ctxs])
+    drindex = jnp.stack([c.drindex for c in ctxs])
+    nvalid = jnp.stack([jnp.asarray(c.nstates, jnp.int32) for c in ctxs])
+    cols = jnp.broadcast_to(
+        (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+         + jnp.arange(Nx, dtype=jnp.int32)[None, :])[None], (B, Ny, Nx))
+    dmap = jnp.stack([jnp.asarray(c.dmap) for c in ctxs])
+    rmap = jnp.stack([jnp.asarray(c.rmap) for c in ctxs])
+    grid_in = dict(lB=lB, drindex=drindex, dmap=dmap, rmap=rmap,
+                   nvalid=nvalid, cols=cols)
+    beam0 = dict(RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
+                 vind=jnp.zeros((B, M, Nx + 1), jnp.int32),
+                 states=jnp.zeros((B, M, Nx * Ny), jnp.int32))
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 i))(jnp.arange(B))
+    beam, mqs = _fleet_sample_prog(beam0, grid_in, Wt, keys, M=M, Nx=Nx,
+                                   Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                   max_sweeps=max_sweeps,
+                                   graduate=graduate_truncation)
+    states = np.asarray(beam["states"])                 # one pull
+    mqs = np.asarray(mqs, dtype=np.float64)
+    return [dict(states=states[b],
+                 energy=exact_energies(ctxs[b], states[b]),
+                 negative_probability=min(0.0, float(mqs[b])))
+            for b in range(B)]
+
+
 def _assemble_batched_results(beam, auxs, B):
     """Reduce per-row aux diagnostics and pick each instance's best branch
     — shared result assembly of multi_search_gs / sharded_search_gs."""
@@ -900,24 +1007,19 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     cols = jnp.broadcast_to(
         (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
          + jnp.arange(Nx, dtype=jnp.int32)[None, :])[None], (B, Ny, Nx))
+    # one upload for the whole lattice (a per-row stack inside the row
+    # loop costs 2*Ny separate transfers over a tunneled link)
+    dmap = jnp.stack([jnp.asarray(c.dmap) for c in ctxs])
+    rmap = jnp.stack([jnp.asarray(c.rmap) for c in ctxs])
+    grid_in = dict(lB=lB, drindex=drindex, Es=EsP, Esl=EslP, Esu=EsuP,
+                   dmap=dmap, rmap=rmap, nvalid=nvalid, cols=cols)
 
     shard = None
     if mesh is not None:
         from jax.sharding import NamedSharding
         shard = NamedSharding(mesh, P("data"))
-        Wt, lB, drindex, EsP, EslP, EsuP, nvalid, cols = (
-            jax.device_put(x, shard)
-            for x in (Wt, lB, drindex, EsP, EslP, EsuP, nvalid, cols))
-
-    build = jax.vmap(lambda w: engine.build_rhoT(
-        w, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
-        graduate=graduate_truncation))
-    rhoT, _, _, _ = jax.jit(build)(Wt)            # (B, Ny+1, Nx, D, lv, D)
-
-    step1 = partial(row_step, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
-                    log2_cutoff=log2_cutoff, cand=cand, select=select)
-    stepB = jax.jit(jax.vmap(step1))
-    envsB = jax.jit(jax.vmap(engine.row_right_envs))
+        Wt = jax.device_put(Wt, shard)
+        grid_in = {k: jax.device_put(v, shard) for k, v in grid_in.items()}
 
     beam = dict(
         RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
@@ -931,22 +1033,57 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     )
     if shard is not None:
         beam = {k: jax.device_put(v, shard) for k, v in beam.items()}
-    auxs = []
-    for ny in range(Ny):
-        beam["aidx"] = jnp.broadcast_to(
-            jnp.arange(M, dtype=jnp.int32)[None], (B, M))
-        beam["RL"] = jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0)
-        RRs = envsB(rhoT[:, ny + 1], Wt[:, ny], beam["vind"][:, :, 1:])
-        row = dict(lB=lB[:, ny], drindex=drindex[:, ny],
-                   AT=rhoT[:, ny + 1], RRs=RRs, Es=EsP[:, ny],
-                   Esl=EslP[:, ny], Esu=EsuP[:, ny],
-                   dmap=jnp.stack([jnp.asarray(c.dmap[ny]) for c in ctxs]),
-                   rmap=jnp.stack([jnp.asarray(c.rmap[ny]) for c in ctxs]),
-                   nvalid=nvalid[:, ny], cols=cols[:, ny])
-        beam, aux = stepB(beam, row)
-        auxs.append(aux)  # no host sync inside the row loop
 
-    return _assemble_batched_results(beam, auxs, B)
+    beam, aux = _fleet_search_prog(
+        beam, grid_in, Wt, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+        log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
+        tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation)
+
+    if dtype == jnp.float32:
+        packed = np.asarray(_pack_result_batch(beam, aux))  # ONE pull
+        out = []
+        for b in range(B):
+            states, Eng, prob, deg, valid, mq, mqc, pd, ovf = \
+                _unpack_result(packed[b], M, Nx * Ny)
+            v = valid
+            best = int(np.argmin(np.where(v, Eng, np.inf)))
+            out.append(dict(energy=Eng[best], states=states[best],
+                            prob=prob[best], degeneracy=int(deg[best]),
+                            negative_probability=min(0.0, mq),
+                            negative_probability_core=min(0.0, mqc),
+                            discarded_probability=pd,
+                            merge_overflow=int(ovf)))
+        return out
+    return _assemble_batched_results(beam, [aux], B)
+
+
+@partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
+                                   "log2_cutoff", "cand", "select", "Dmax",
+                                   "tolS", "tolV", "max_sweeps", "graduate"))
+def _fleet_search_prog(beam0, grid_in, Wt, *, M, Nx, bits, min_dEng,
+                       log2_cutoff, cand, select, Dmax, tolS, tolV,
+                       max_sweeps, graduate):
+    """Boundary-MPS build + the full search scan for a whole instance
+    batch as ONE jitted, vmapped program: one device dispatch per batch
+    (the previous per-row host loop cost Ny dispatches plus per-call
+    retracing of freshly created closures)."""
+    def one(beam0_i, grid_i, Wt_i):
+        rhoT, _, _, _ = engine.build_rhoT(
+            Wt_i, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+            graduate=graduate)
+        return full_search_scan(beam0_i, grid_i, rhoT, Wt_i, M=M, Nx=Nx,
+                                bits=bits, min_dEng=min_dEng,
+                                log2_cutoff=log2_cutoff, cand=cand,
+                                select=select)
+    return jax.vmap(one)(beam0, grid_in, Wt)
+
+
+@jax.jit
+def _pack_result_batch(beam, aux):
+    """Batched :func:`_pack_result`: the whole fleet's results as one
+    (B, W) int32 array — a single device->host pull."""
+    return jax.vmap(_pack_result)(beam, aux)
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,7 @@ def _flipped_spins(ins, dpos, dstate):
     """Global ids of flipped spins (reference `_exc_xor2ind`,
     `tnac4o/tnac4o.py:2081-2085`)."""
     return np.hstack([ins.xor2ind[p][s] for p, s in zip(dpos, dstate)]) \
-        .astype(np.int64)
+        .astype(np.int64, copy=False)
 
 
 def exc_elementary(ins, dpos, dstate):
@@ -805,6 +805,7 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
     pd_max, globalmin, globalmin_core = -np.inf, 1.0, 0.0
     overflow, count_max = 0, 0
     negp_site = (0, 0)
+    gc_watermark = 1024
 
     for ny in range(Ny):
         t_row = time.time()
@@ -918,8 +919,14 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
             vind_h[:, nx + 1] = ctx.rmap[ny, nx][indc[rep]]
             deg_h = degn
             ins.el = new_el
-            if ee < 3:
+            if ee < 3 and len(ins.d) > gc_watermark:
+                # the reference gc's every site (tnac4o/tnac4o.py:876);
+                # gc only reclaims memory, so the replay amortizes it —
+                # walk the trees when the shape dict has doubled, not at
+                # every site (the final gc below restores the reference's
+                # live-shapes-only dictionary for save/load parity)
                 exc_gc(ins)
+                gc_watermark = max(1024, 2 * len(ins.d))
         if ee == 3:
             exc_gc(ins)
         vind_h[:, 1:] = vind_h[:, :-1]
@@ -948,6 +955,8 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
 
     keep = np.flatnonzero(out_valid)
     ins.el = [ins.el[kk] for kk in keep]
+    if ee < 3:
+        exc_gc(ins)      # reference parity: d holds live shapes only
     _finalize_spectrum(ins, ee, lim_hd)
     return SearchResult(
         energy=Eng_h[keep], probability=out_prob[keep],

@@ -183,51 +183,65 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
     return results
 
 
-def run_j124_batched(C, n, D, M, precondition, start=1):
-    """J124 protocol with all 4 rotations of an instance batched through
-    `parallel.multi_search_gs` in ONE device dispatch (rotations of a
-    square lattice share padded shapes). Semantics identical to
+def run_j124_batched(C, n, D, M, precondition, start=1, group=2):
+    """J124 protocol with ``group`` instances x all 4 rotations batched
+    through `parallel.multi_search_gs` in ONE device dispatch (rotations
+    of a square lattice share padded shapes). Semantics identical to
     run_j124(path='device') without the early-stop: best energy + max
-    degeneracy among the best over the 4 rotations."""
+    degeneracy among the best over the 4 rotations. Preconditioning runs
+    as one vmapped fleet ladder per dispatch."""
     from tnax import parallel
+    from tnax import precondition as pre
     Nx = Ny = C
     oracle = j124_oracle(C)
     results = []
-    for ins_no in range(start, n + 1):
-        f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
-                         "%03d.txt" % ins_no)
-        J = tnax.Jij_f2p(tnax.load_Jij(f))
+    todo = list(range(start, n + 1))
+    for lo in range(0, len(todo), group):
+        batch = todo[lo:lo + group]
+        # pad the final partial batch so only ONE batch shape compiles
+        padded = batch + [batch[-1]] * (group - len(batch))
         t0 = time.time()
-        solvers, ctxs = [], []
-        for rot in range(4):
-            ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
-                              beta=0.75)
-            if rot:
-                ins.rotate_graph(rot=rot)
-            if precondition:
-                ins.precondition(mode="balancing")
-            solvers.append(ins)
-            ctxs.append(ins._context())
+        Js, solvers = {}, []
+        for ins_no in padded:
+            f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                             "%03d.txt" % ins_no)
+            Js[ins_no] = tnax.Jij_f2p(tnax.load_Jij(f))
+            for rot in range(4):
+                ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8,
+                                  J=Js[ins_no], beta=0.75)
+                if rot:
+                    ins.rotate_graph(rot=rot)
+                solvers.append(ins)
+        if precondition:
+            betas = [0.75 * 2.0 ** (nn - 2) for nn in range(2)]
+            for ins, X in zip(solvers, pre.precondition_fleet(
+                    [s.problem for s in solvers], betas)):
+                ins._gauges = X
+        ctxs = [ins._context() for ins in solvers]
         rs = parallel.multi_search_gs(ctxs, M=M, relative_P_cutoff=1e-8,
                                       Dmax=D)
-        best_E, best_deg, ovf = np.inf, 0, 0
-        for ins, r in zip(solvers, rs):
-            ins.states = np.asarray(r["states"])[None, :][:, ins.order]
-            E = float(tnax.energy_Jij(J, ins.binary_states())[0])
-            deg = r["degeneracy"]
-            ovf += r["merge_overflow"]
-            if E < best_E - 1e-9:
-                best_E, best_deg = E, deg
-            elif abs(E - best_E) < 1e-9:
-                best_deg = max(best_deg, deg)
-        oE, odeg = oracle[ins_no]
-        ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
-        results.append(dict(instance=ins_no, energy=best_E,
-                            degeneracy=best_deg, oracle_energy=oE,
-                            oracle_degeneracy=odeg, ok=bool(ok),
-                            merge_overflow=ovf,
-                            seconds=round(time.time() - t0, 2)))
-        print(json.dumps(results[-1]), flush=True)
+        dt = time.time() - t0
+        for gi, ins_no in enumerate(batch):
+            best_E, best_deg, ovf = np.inf, 0, 0
+            for ins, r in zip(solvers[4 * gi:4 * gi + 4],
+                              rs[4 * gi:4 * gi + 4]):
+                ins.states = np.asarray(r["states"])[None, :][:, ins.order]
+                E = float(tnax.energy_Jij(Js[ins_no],
+                                          ins.binary_states())[0])
+                deg = r["degeneracy"]
+                ovf += r["merge_overflow"]
+                if E < best_E - 1e-9:
+                    best_E, best_deg = E, deg
+                elif abs(E - best_E) < 1e-9:
+                    best_deg = max(best_deg, deg)
+            oE, odeg = oracle[ins_no]
+            ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
+            results.append(dict(instance=ins_no, energy=best_E,
+                                degeneracy=best_deg, oracle_energy=oE,
+                                oracle_degeneracy=odeg, ok=bool(ok),
+                                merge_overflow=ovf,
+                                seconds=round(dt / len(batch), 2)))
+            print(json.dumps(results[-1]), flush=True)
     return results
 
 
@@ -308,11 +322,18 @@ if __name__ == "__main__":
     p.add_argument("--escalate", action="store_true")
     p.add_argument("--only", type=str, default=None,
                    help="comma-separated instance numbers")
-    p.add_argument("--batch-rot", action="store_true",
-                   help="j124: batch the 4 rotations in one device dispatch")
-    p.add_argument("--fleet", type=int, default=0, metavar="B",
+    p.add_argument("--batch-rot", dest="batch_rot", action="store_true",
+                   help="j124: batch the 4 rotations in one device dispatch "
+                        "(the default; --no-batch-rot for sequential)")
+    p.add_argument("--no-batch-rot", dest="batch_rot", action="store_false")
+    p.set_defaults(batch_rot=True)
+    p.add_argument("--group", type=int, default=2,
+                   help="j124 batched mode: instances per dispatch "
+                        "(batch width = 4*group rotations)")
+    p.add_argument("--fleet", type=int, default=8, metavar="B",
                    help="droplet: search instances in multi_search_gs "
-                        "batches of B (production fleet mode)")
+                        "batches of B (production fleet mode, the "
+                        "default; 0 = sequential single-instance runs)")
     p.add_argument("--cand-factor", type=int, default=8,
                    help="j124 merge candidate cap factor; 0 = uncapped "
                         "(exact full-candidate-set merge)")
@@ -320,9 +341,11 @@ if __name__ == "__main__":
     p.set_defaults(pre=True)
     args = p.parse_args()
 
-    if args.family == "j124" and args.batch_rot:
+    if args.family == "j124" and args.batch_rot and not args.only \
+            and args.path != "host":
         res = run_j124_batched(args.C, args.n, args.D or 48,
-                               args.M or 4096, args.pre, start=args.start)
+                               args.M or 4096, args.pre, start=args.start,
+                               group=args.group)
     elif args.only and args.family == "j124":
         res = []
         for k in (int(x) for x in args.only.split(",")):
