@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.sharding import PartitionSpec as P_
 from jax import shard_map
 
 from . import engine
@@ -500,10 +501,31 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
     Returns (beam', records (Nx, 4P+3M+6) i32).
     """
     RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
+    return _records_row_core(beam, row_tabs, RRs, AT_row, M=M, C=C, Nx=Nx,
+                             bits=bits, min_dEng=min_dEng,
+                             log2_cutoff=log2_cutoff, P=P)
+
+
+def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
+                      min_dEng, log2_cutoff, P=None, axis=None,
+                      beam_shards=1):
+    """Site scan of :func:`row_records_prog`, optionally sharded over the
+    beam mesh axis (``axis`` set, inside shard_map): each shard holds
+    M/n branches, takes its local top-C/n candidates, and the merge +
+    record construction run replicated after an `all_gather` — the
+    collective pattern of :func:`row_step`. ``RRs`` must be replicated
+    over the beam axis (it is indexed by global row-start branch ids)."""
     Np = row_tabs["lB"].shape[1]
     D = AT_row.shape[1]
     dtype = AT_row.dtype
     Pc = C if P is None else min(P, C)
+    if axis is not None:
+        Ml = M // beam_shards
+        Cl = max(1, C // beam_shards)
+        base = lax.axis_index(axis) * Ml
+    else:
+        Ml, Cl = M, C
+        base = 0
 
     def site(carry, xs):
         RL, vind, Eng, prob, valid, aidx = carry
@@ -514,51 +536,75 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
                                        vind[:, nx], vind[:, nx + 1], nvalid)
         logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
         probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
-        probf = probf.reshape(M * Np)
+        probf = probf.reshape(Ml * Np)
         pmax = jnp.max(probf)
+        if axis is not None:
+            pmax = lax.pmax(pmax, axis)
         cutoff = pmax + log2_cutoff
-        count = jnp.sum(probf > cutoff)
+        count_local = jnp.sum(probf > cutoff)
+        count = count_local
+        if axis is not None:
+            count = lax.psum(count_local, axis)
+            # a shard that truncated post-cutoff candidates at its local
+            # cap must flag the site even when the global count fits C
+            any_trunc = lax.pmax((count_local > Cl).astype(jnp.int32),
+                                 axis) > 0
+            count = jnp.where(any_trunc, jnp.maximum(count, C + 1), count)
 
-        k = min(C + 1, M * Np)
+        k = min(Cl + 1, Ml * Np)
         vals, idx = lax.top_k(probf, k)
-        # largest candidate discarded by the cutoff (or by the cap C) —
+        # largest candidate discarded by the cutoff (or by the cap) —
         # reference pd_max bookkeeping (tnac4o/tnac4o.py:456-465)
-        kk = jnp.minimum(count, C)
-        disc_cut = jnp.where(kk < M * Np,
+        kk = jnp.minimum(count_local, Cl)
+        disc_cut = jnp.where(kk < Ml * Np,
                              vals[jnp.clip(kk, 0, k - 1)],
                              jnp.asarray(NEG, vals.dtype))
-        vals_c, idx_c = vals[:C], idx[:C]
-        src = (idx_c // Np).astype(jnp.int32)
+        if axis is not None:
+            disc_cut = lax.pmax(disc_cut, axis)
+        vals_c, idx_c = vals[:Cl], idx[:Cl]
+        src_l = (idx_c // Np).astype(jnp.int32)
         indc = (idx_c % Np).astype(jnp.int32)
-        cvalid = valid[src] & (vals_c > cutoff) & (vals_c > NEG / 2)
+        cvalid = valid[src_l] & (vals_c > cutoff) & (vals_c > NEG / 2)
         # the best branch always survives, even below cutoff
         # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
-        cvalid = cvalid.at[0].set(vals_c[0] > NEG / 2)
+        cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
 
-        E_cand = Eng[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
-            + Esu_t[indc, vind[src, nx + 1]]
-        vind_cand = vind[src]
-        rows_ = jnp.arange(C)
+        E_cand = Eng[src_l] + Es_t[indc] + Esl_t[indc, vind[src_l, nx]] \
+            + Esu_t[indc, vind[src_l, nx + 1]]
+        vind_cand = vind[src_l]
+        rows_ = jnp.arange(Cl)
         vind_cand = vind_cand.at[rows_, nx].set(dmap[indc])
         vind_cand = vind_cand.at[rows_, nx + 1].set(rmap[indc])
+        src = base + src_l                  # global branch ids (record)
+        RL_c = RL[src_l]
+        aidx_c = aidx[src_l]
+        if axis is not None:
+            gather = lambda x: lax.all_gather(x, axis, tiled=True)
+            vals_c, indc, src, E_cand, vind_cand, cvalid, RL_c, aidx_c = \
+                map(gather, (vals_c, indc, src, E_cand, vind_cand, cvalid,
+                             RL_c, aidx_c))
 
         slot, rep, prob_out, Eng_out, out_valid, disc_m, _ = \
             merge_candidates(vind_cand, E_cand, vals_c, cvalid, min_dEng,
                              bits, M)
 
         vind_new = vind_cand[rep]
-        RL_new = engine.rl_update(RL[src[rep]], AT, vind_new[:, nx])
-        aidx_new = aidx[src[rep]]
+        RL_new = engine.rl_update(RL_c[rep], AT, vind_new[:, nx])
+        aidx_new = aidx_c[rep]
         minP = jnp.min(jnp.where(valid, mPn, 0.0))
         bmax = jnp.max(jnp.where(valid, prob, NEG))
+        if axis is not None:
+            bmax = lax.pmax(bmax, axis)
         core = valid & (prob > bmax + log2_cutoff)
         minP_core = jnp.min(jnp.where(core, mPn, 0.0))
+        if axis is not None:
+            minP = lax.pmin(minP, axis)
+            minP_core = lax.pmin(minP_core, axis)
 
         # compact: merged candidates (slot >= 0) first, ordered by slot;
-        # jnp.argsort is stable, so within a slot the original top-k
-        # (descending-probability) order is preserved. rep is remapped
-        # into compacted coordinates so the host indexes the P-arrays
-        # directly.
+        # jnp.argsort is stable, so within a slot the original candidate
+        # order is preserved. rep is remapped into compacted coordinates
+        # so the host indexes the P-arrays directly.
         n_valid = jnp.sum(slot >= 0)
         take_full = jnp.argsort(jnp.where(slot >= 0, slot, C))
         take = take_full[:Pc]
@@ -577,6 +623,13 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
                        _f32bits(disc_m), _f32bits(minP),
                        _f32bits(minP_core)]),
         ])
+        if axis is not None:
+            # keep this shard's slice of the merged beam
+            def slice_local(x):
+                return lax.dynamic_slice_in_dim(x, base, Ml, axis=0)
+            RL_new, vind_new, Eng_out, prob_out, out_valid, aidx_new = map(
+                slice_local, (RL_new, vind_new, Eng_out, prob_out,
+                              out_valid, aidx_new))
         return (RL_new, vind_new, Eng_out, prob_out, out_valid,
                 aidx_new), rec
 
@@ -584,15 +637,38 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
           row_tabs["drindex"], AT_row, row_tabs["Es"], row_tabs["Esl"],
           row_tabs["Esu"], row_tabs["dmap"], row_tabs["rmap"],
           row_tabs["nvalid"])
-    carry = (jnp.zeros((M, D), dtype).at[:, 0].set(1.0), beam["vind"],
+    carry = (jnp.zeros((Ml, D), dtype).at[:, 0].set(1.0), beam["vind"],
              beam["Eng"], beam["prob"], beam["valid"],
-             jnp.arange(M, dtype=jnp.int32))
+             base + jnp.arange(Ml, dtype=jnp.int32))
     carry, recs = lax.scan(site, carry, xs)
     RL, vind, Eng, prob, valid, aidx = carry
     vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
                            axis=1)
     out = dict(vind=vind, Eng=Eng, prob=prob, valid=valid)
     return out, recs
+
+
+def sharded_row_records(mesh, *, M, C, Nx, bits, min_dEng, log2_cutoff,
+                        P=None):
+    """jit-compiled :func:`row_records_prog` over a mesh 'beam' axis: beam
+    state shards over branches, merge + record construction replicate
+    after per-site all_gathers, and the emitted records are identical on
+    every shard (the host replay is unchanged). New design — VERDICT r2
+    next-round task 9."""
+    n_beam = mesh.shape["beam"]
+    beam_specs = dict(vind=P_("beam"), Eng=P_("beam"), prob=P_("beam"),
+                      valid=P_("beam"))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(beam_specs, P_(), P_(), P_()),
+             out_specs=(beam_specs, P_()), check_vma=False)
+    def step(beam, row_tabs, RRs, AT_row):
+        return _records_row_core(beam, row_tabs, RRs, AT_row, M=M, C=C,
+                                 Nx=Nx, bits=bits, min_dEng=min_dEng,
+                                 log2_cutoff=log2_cutoff, P=P,
+                                 axis="beam", beam_shards=n_beam)
+
+    return jax.jit(step)
 
 
 def _padded_energy_rows(ctx):
@@ -1021,69 +1097,71 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         Wt = jax.device_put(Wt, shard)
         grid_in = {k: jax.device_put(v, shard) for k, v in grid_in.items()}
 
-    beam = dict(
-        RL=jnp.zeros((B, M, D), dtype).at[:, :, 0].set(1.0),
-        vind=jnp.zeros((B, M, Nx + 1), jnp.int32),
-        states=jnp.zeros((B, M, Nx * Ny), jnp.int32),
-        Eng=jnp.zeros((B, M), dtype),
-        prob=jnp.full((B, M), NEG, dtype).at[:, 0].set(0.0),
-        deg=deg_ones((B, M)),
-        valid=jnp.zeros((B, M), bool).at[:, 0].set(True),
-        aidx=jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M)),
-    )
-    if shard is not None:
-        beam = {k: jax.device_put(v, shard) for k, v in beam.items()}
-
-    beam, aux = _fleet_search_prog(
-        beam, grid_in, Wt, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+    out = _fleet_search_prog(
+        grid_in, Wt, M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
         log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
         tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
         graduate=graduate_truncation)
 
     if dtype == jnp.float32:
-        packed = np.asarray(_pack_result_batch(beam, aux))  # ONE pull
-        out = []
+        packed = np.asarray(out)                            # ONE pull
+        results = []
         for b in range(B):
             states, Eng, prob, deg, valid, mq, mqc, pd, ovf = \
                 _unpack_result(packed[b], M, Nx * Ny)
-            v = valid
-            best = int(np.argmin(np.where(v, Eng, np.inf)))
-            out.append(dict(energy=Eng[best], states=states[best],
-                            prob=prob[best], degeneracy=int(deg[best]),
-                            negative_probability=min(0.0, mq),
-                            negative_probability_core=min(0.0, mqc),
-                            discarded_probability=pd,
-                            merge_overflow=int(ovf)))
-        return out
+            best = int(np.argmin(np.where(valid, Eng, np.inf)))
+            results.append(dict(energy=Eng[best], states=states[best],
+                                prob=prob[best], degeneracy=int(deg[best]),
+                                negative_probability=min(0.0, mq),
+                                negative_probability_core=min(0.0, mqc),
+                                discarded_probability=pd,
+                                merge_overflow=int(ovf)))
+        return results
+    beam, aux = out
     return _assemble_batched_results(beam, [aux], B)
 
 
 @partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
                                    "log2_cutoff", "cand", "select", "Dmax",
                                    "tolS", "tolV", "max_sweeps", "graduate"))
-def _fleet_search_prog(beam0, grid_in, Wt, *, M, Nx, bits, min_dEng,
+def _fleet_search_prog(grid_in, Wt, *, M, Nx, bits, min_dEng,
                        log2_cutoff, cand, select, Dmax, tolS, tolV,
                        max_sweeps, graduate):
     """Boundary-MPS build + the full search scan for a whole instance
     batch as ONE jitted, vmapped program: one device dispatch per batch
     (the previous per-row host loop cost Ny dispatches plus per-call
-    retracing of freshly created closures)."""
-    def one(beam0_i, grid_i, Wt_i):
+    retracing of freshly created closures). The initial beam is built
+    inside the program — every op outside jit is its own tiny compiled
+    program, and each program costs a remote-compile round trip on a
+    tunneled accelerator. For f32 the packed result (see
+    :func:`_pack_result`) is returned so the whole batch pulls as one
+    (B, W) int32 array."""
+    B, Ny = Wt.shape[0], Wt.shape[1]
+    D = Dmax
+    dtype = Wt.dtype
+
+    def one(grid_i, Wt_i):
+        beam0 = dict(
+            RL=jnp.zeros((M, D), dtype).at[:, 0].set(1.0),
+            vind=jnp.zeros((M, Nx + 1), jnp.int32),
+            states=jnp.zeros((M, Nx * Ny), jnp.int32),
+            Eng=jnp.zeros((M,), dtype),
+            prob=jnp.full((M,), NEG, dtype).at[0].set(0.0),
+            deg=deg_ones((M,)),
+            valid=jnp.zeros((M,), bool).at[0].set(True),
+            aidx=jnp.arange(M, dtype=jnp.int32),
+        )
         rhoT, _, _, _ = engine.build_rhoT(
             Wt_i, Dmax=Dmax, tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
             graduate=graduate)
-        return full_search_scan(beam0_i, grid_i, rhoT, Wt_i, M=M, Nx=Nx,
-                                bits=bits, min_dEng=min_dEng,
-                                log2_cutoff=log2_cutoff, cand=cand,
-                                select=select)
-    return jax.vmap(one)(beam0, grid_in, Wt)
-
-
-@jax.jit
-def _pack_result_batch(beam, aux):
-    """Batched :func:`_pack_result`: the whole fleet's results as one
-    (B, W) int32 array — a single device->host pull."""
-    return jax.vmap(_pack_result)(beam, aux)
+        beam, aux = full_search_scan(beam0, grid_i, rhoT, Wt_i, M=M, Nx=Nx,
+                                     bits=bits, min_dEng=min_dEng,
+                                     log2_cutoff=log2_cutoff, cand=cand,
+                                     select=select)
+        if dtype == jnp.float32:
+            return _pack_result(beam, aux)
+        return beam, aux
+    return jax.vmap(one)(grid_in, Wt)
 
 
 # ---------------------------------------------------------------------------

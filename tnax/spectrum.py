@@ -1052,3 +1052,73 @@ def multi_search_spectrum(inss, ctxs, excitations_encoding, M=2 ** 10,
             ins, ctx, handles, ee, M=M, C=C, P=P, max_dEng=max_dEng,
             lim_hd=lim_hd, min_dEng=min_dEng, t_total=t_total))
     return results
+
+
+def sharded_search_spectrum(ins, ctx: ContractionContext,
+                            excitations_encoding, mesh, M=2 ** 10,
+                            relative_P_cutoff=1e-6, max_dEng=0.0, lim_hd=0,
+                            min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
+                            max_sweeps=20, graduate_truncation=True,
+                            cand_factor=8) -> SearchResult:
+    """Beam-sharded device-record spectrum search over a mesh 'beam' axis
+    (VERDICT r2 next-round task 9 — new design, no reference analogue).
+
+    The M beam branches shard across devices; each site's candidate
+    expansion and local top-C/n run per shard, the merge + decision-record
+    construction replicate after an `all_gather` (the collective pattern
+    of `tnax.parallel.row_step`), and the emitted records are identical on
+    every shard — so the host replay (:func:`_replay_records`) is exactly
+    the single-chip one. Validated sharded == unsharded on a virtual CPU
+    mesh (`tests/test_sharded_equiv.py`).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    from . import parallel as par
+    ee = excitations_encoding
+    t_total = time.time()
+    n_beam = mesh.shape["beam"]
+    if M % n_beam:
+        raise ValueError(f"M={M} does not tile the beam axis ({n_beam})")
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    Ny, Nx, Np = ctx.Ny, ctx.Nx, ctx.Np
+    dtype = ctx.dtype
+    C = int(M * Np) if cand_factor is None \
+        else int(min(cand_factor * M, M * Np))
+    C -= C % n_beam
+    P = C if C >= M * Np else int(min(C, max(16 * M, -(-C // 8))))
+    bits = max(1, int(np.ceil(np.log2(max(ctx.lh, ctx.lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else par.NEG
+    EsP, EslP, EsuP = par._padded_energy_rows(ctx)
+    nvalid = jnp.asarray(ctx.nstates, jnp.int32)
+
+    beam_sh = NamedSharding(mesh, PartitionSpec("beam"))
+    repl = NamedSharding(mesh, PartitionSpec())
+    step = par.sharded_row_records(mesh, M=M, C=C, Nx=Nx, bits=bits,
+                                   min_dEng=float(min_dEng),
+                                   log2_cutoff=log2_cutoff, P=P)
+    envs = jax.jit(engine.row_right_envs, out_shardings=repl)
+
+    beam = dict(vind=jnp.zeros((M, Nx + 1), jnp.int32),
+                Eng=jnp.zeros((M,), dtype),
+                prob=jnp.full((M,), par.NEG, dtype).at[0].set(0.0),
+                valid=jnp.zeros((M,), bool).at[0].set(True))
+    beam = {k: jax.device_put(v, beam_sh) for k, v in beam.items()}
+    rec_handles = []
+    for ny in range(Ny):
+        row_tabs = dict(lB=ctx.lB[ny], drindex=ctx.drindex[ny], Es=EsP[ny],
+                        Esl=EslP[ny], Esu=EsuP[ny],
+                        dmap=jnp.asarray(ctx.dmap[ny]),
+                        rmap=jnp.asarray(ctx.rmap[ny]), nvalid=nvalid[ny])
+        row_tabs = {k: jax.device_put(v, repl) for k, v in row_tabs.items()}
+        AT_row = jax.device_put(ctx.rhoT[ny + 1], repl)
+        # RRs indexes by global row-start branch ids inside each shard,
+        # so it must be replicated over the beam axis
+        RRs = envs(AT_row, jax.device_put(ctx.Wt[ny], repl),
+                   jax.device_put(beam["vind"][:, 1:], repl))
+        beam, recs = step(beam, row_tabs, RRs, AT_row)
+        rec_handles.append(recs)
+
+    return _replay_records(ins, ctx, rec_handles, ee, M=M, C=C, P=P,
+                           max_dEng=max_dEng, lim_hd=lim_hd,
+                           min_dEng=min_dEng, t_total=t_total)
