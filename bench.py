@@ -20,11 +20,18 @@ time in the JSON side channel.
 Env knobs: TNAX_BENCH_L (128|512|1152|2048, default 2048),
 TNAX_BENCH_D (default 32), TNAX_BENCH_M (default 1024),
 TNAX_BENCH_PATH (device|host, default device on accelerators),
-TNAX_BENCH_FLEET=N (also run an N-instance chimera-512 fleet via
-`multi_search_gs` and report instances/min — the production mode,
-BASELINE.md north-star "100 instances x 4 rotations"),
+TNAX_BENCH_SELECT (compact|topk candidate selection, default compact),
+TNAX_BENCH_FLEET=N (run an N-instance chimera-512 fleet end-to-end —
+load + vmapped precondition ladder + one-dispatch batched search — and
+report instances/min; the production mode, BASELINE.md north-star "100
+instances x 4 rotations"; default 8 on accelerators, 0 disables),
 TNAX_BENCH_SPECTRUM=1 (also run the L2048 ee=2 device-record spectrum and
 report its wall-clock vs the reference's 677.9 s CPU).
+
+The JSON also carries the warm per-phase split (precondition / boundary
+build / search scan, measured with host sync points in a separate run) —
+VERDICT r2 task 8 visibility: the workload is latency-bound small-tensor
+work, so MFU is honest-low and the phase split is the actionable view.
 """
 
 import json
@@ -53,6 +60,7 @@ def main():
     backend = jax.default_backend()
     path = os.environ.get("TNAX_BENCH_PATH",
                           "host" if backend == "cpu" else "device")
+    select = os.environ.get("TNAX_BENCH_SELECT", "compact")
 
     Nx, Ny, Nc = SHAPES[L]
     J = tnax.load_Jij(
@@ -68,7 +76,8 @@ def main():
         ctx = ins._context()
         if path == "device":
             res = parallel.device_search_gs(ctx, M=M,
-                                            relative_P_cutoff=1e-8, Dmax=D)
+                                            relative_P_cutoff=1e-8, Dmax=D,
+                                            select=select)
             states = res["states"][None, :]
         else:
             from tnax import search as S
@@ -86,6 +95,25 @@ def main():
     with trace(os.environ.get("TNAX_PROFILE")):
         warm, E = once()
     ok = abs(E - REF_ENERGY[L]) < 1e-4
+
+    # warm per-phase split (separate run with host sync points)
+    phases = {}
+    if path == "device":
+        import numpy as _np
+        t0 = time.time()
+        ins._gauges = None
+        ins.precondition(mode="balancing")
+        t1 = time.time()
+        ctx = ins._context()
+        ctx.build_boundary(D, 1e-16, 1e-10, 20, True)
+        _np.asarray(ctx.rhoT[0, 0, 0, 0])
+        t2 = time.time()
+        parallel.device_search_gs(ctx, M=M, relative_P_cutoff=1e-8,
+                                  Dmax=D, select=select)
+        t3 = time.time()
+        phases = {"pre_s": round(t1 - t0, 3),
+                  "boundary_s": round(t2 - t1, 3),
+                  "search_s": round(t3 - t2, 3)}
     # marginal evaluations per second (the north-star throughput metric):
     # every site of the lattice evaluates M x N_block conditional weights
     evals = M * 256 * Nx * Ny / warm
@@ -105,8 +133,10 @@ def main():
     f_build = sites * (6 * (2 * D * lv) * (D * lh) * k)
     flops = f_marg + f_envs + f_build
     peak = 4.9e13 if backend == "tpu" else 1e12   # v5e f32 ~49 TFLOP/s
-    extra = {}
-    nfleet = int(os.environ.get("TNAX_BENCH_FLEET", "0"))
+    extra = dict(phases)
+    extra["select"] = select
+    nfleet = int(os.environ.get(
+        "TNAX_BENCH_FLEET", "0" if backend == "cpu" else "8"))
     if nfleet:
         extra["fleet_instances_per_min"] = _fleet_metric(nfleet)
     if os.environ.get("TNAX_BENCH_SPECTRUM"):
@@ -132,22 +162,38 @@ def main():
 
 
 def _fleet_metric(n):
-    """n-instance chimera-512 fleet throughput (instances/min, warm)."""
-    from tnax.search import ContractionContext
+    """n-instance chimera-512 fleet throughput (instances/min): the full
+    warm end-to-end pipeline — instance load, vmapped precondition
+    ladder, one-dispatch batched boundary+search, exact host energy — on
+    a fresh instance set after one compile batch."""
+    from tnax import precondition as pre
     Nx, Ny, Nc = SHAPES[512]
-    ctxs = []
-    for i in range(1, n + 1):
-        J = tnax.load_Jij(
-            "/root/reference/instances/Chimera_droplet_instances/"
-            "chimera512_spinglass_power/%03d.txt" % i)
-        J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
-        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, J=J, beta=3)
-        ins.precondition(mode="balancing")
-        ctxs.append(ins._context())
-    parallel.multi_search_gs(ctxs, M=1024, relative_P_cutoff=1e-8, Dmax=32)
-    t0 = time.time()
-    parallel.multi_search_gs(ctxs, M=1024, relative_P_cutoff=1e-8, Dmax=32)
-    return round(n / (time.time() - t0) * 60.0, 2)
+
+    def batch(ids):
+        t0 = time.time()
+        solvers, Js = [], []
+        for i in ids:
+            J = tnax.load_Jij(
+                "/root/reference/instances/Chimera_droplet_instances/"
+                "chimera512_spinglass_power/%03d.txt" % i)
+            Js.append(tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75))
+            solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
+                                       J=Js[-1], beta=3))
+        betas = [3 * 2.0 ** (nn - 2) for nn in range(2)]
+        for ins, X in zip(solvers, pre.precondition_fleet(
+                [s.problem for s in solvers], betas)):
+            ins._gauges = X
+        ctxs = [ins._context() for ins in solvers]
+        rs = parallel.multi_search_gs(ctxs, M=1024,
+                                      relative_P_cutoff=1e-8, Dmax=32)
+        for J, ins, r in zip(Js, solvers, rs):
+            ins.states = r["states"][None, :][:, ins.order]
+            tnax.energy_Jij(J, ins.binary_states())
+        return time.time() - t0
+
+    batch(list(range(1, n + 1)))                   # compile batch
+    dt = batch(list(range(n + 1, 2 * n + 1)))      # warm, fresh instances
+    return round(n / dt * 60.0, 2)
 
 
 def _spectrum_metric():

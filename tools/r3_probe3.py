@@ -31,10 +31,11 @@ def load(L, i):
 def fleet(batch_ids, select, L=512):
     Nx, Ny, Nc = SHAPES[L]
     t0 = time.time()
-    solvers = []
+    solvers, Js = [], []
     for i in batch_ids:
+        Js.append(load(L, i))
         solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
-                                   J=load(L, i), beta=3))
+                                   J=Js[-1], beta=3))
     betas = [3 * 2.0 ** (nn - 2) for nn in range(2)]
     for ins, X in zip(solvers, pre.precondition_fleet(
             [s.problem for s in solvers], betas)):
@@ -45,9 +46,9 @@ def fleet(batch_ids, select, L=512):
                                   Dmax=32, select=select)
     t2 = time.time()
     n_ok = 0
-    for i, ins, r in zip(batch_ids, solvers, rs):
+    for J, ins, r in zip(Js, solvers, rs):
         ins.states = np.asarray(r["states"])[None, :][:, ins.order]
-        E = float(tnax.energy_Jij(ins.problem.J, ins.binary_states())[0])
+        E = float(tnax.energy_Jij(J, ins.binary_states())[0])
         n_ok += abs(E - r["energy"]) < 1e-3
     return dict(select=select, B=len(batch_ids), pre_s=round(t1 - t0, 2),
                 search_s=round(t2 - t1, 2), total_s=round(t2 - t0, 2),
