@@ -60,7 +60,7 @@ def main():
     backend = jax.default_backend()
     path = os.environ.get("TNAX_BENCH_PATH",
                           "host" if backend == "cpu" else "device")
-    select = os.environ.get("TNAX_BENCH_SELECT", "compact")
+    select = os.environ.get("TNAX_BENCH_SELECT", "topk")
 
     Nx, Ny, Nc = SHAPES[L]
     J = tnax.load_Jij(

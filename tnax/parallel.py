@@ -211,7 +211,7 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
 # ---------------------------------------------------------------------------
 
 def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
-             axis=None, beam_shards=1, select="compact"):
+             axis=None, beam_shards=1, select="topk"):
     """Process one full lattice row of the beam search on device.
 
     beam: dict with
@@ -428,7 +428,7 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
 @partial(jax.jit, static_argnames=("M", "Nx", "bits", "min_dEng",
                                    "log2_cutoff", "cand", "select"))
 def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
-                     log2_cutoff, cand=None, select="compact"):
+                     log2_cutoff, cand=None, select="topk"):
     """The ENTIRE ground-state search as one jitted program: lax.scan over
     lattice rows, each row computing its right environments and running
     :func:`row_step`'s site scan. One device dispatch per search.
@@ -466,9 +466,9 @@ def _f32bits(x):
 
 
 @partial(jax.jit, static_argnames=("M", "C", "Nx", "bits", "min_dEng",
-                                   "log2_cutoff", "P"))
+                                   "log2_cutoff", "P", "select"))
 def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
-                     min_dEng, log2_cutoff, P=None):
+                     min_dEng, log2_cutoff, P=None, select="topk"):
     """One lattice row of the search, emitting per-site decision records.
 
     The device makes every beam decision (cutoff, candidate cap C, merge by
@@ -503,12 +503,12 @@ def row_records_prog(beam, row_tabs, AT_row, Wt_row, *, M, C, Nx, bits,
     RRs = engine.row_right_envs(AT_row, Wt_row, beam["vind"][:, 1:])
     return _records_row_core(beam, row_tabs, RRs, AT_row, M=M, C=C, Nx=Nx,
                              bits=bits, min_dEng=min_dEng,
-                             log2_cutoff=log2_cutoff, P=P)
+                             log2_cutoff=log2_cutoff, P=P, select=select)
 
 
 def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
                       min_dEng, log2_cutoff, P=None, axis=None,
-                      beam_shards=1):
+                      beam_shards=1, select="topk"):
     """Site scan of :func:`row_records_prog`, optionally sharded over the
     beam mesh axis (``axis`` set, inside shard_map): each shard holds
     M/n branches, takes its local top-C/n candidates, and the merge +
@@ -535,39 +535,70 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
         Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel,
                                        vind[:, nx], vind[:, nx + 1], nvalid)
         logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
-        probf = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
-        probf = probf.reshape(Ml * Np)
+        probf2d = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
+        probf = probf2d.reshape(Ml * Np)
         pmax = jnp.max(probf)
         if axis is not None:
             pmax = lax.pmax(pmax, axis)
         cutoff = pmax + log2_cutoff
-        count_local = jnp.sum(probf > cutoff)
-        count = count_local
-        if axis is not None:
-            count = lax.psum(count_local, axis)
-            # a shard that truncated post-cutoff candidates at its local
-            # cap must flag the site even when the global count fits C
-            any_trunc = lax.pmax((count_local > Cl).astype(jnp.int32),
-                                 axis) > 0
-            count = jnp.where(any_trunc, jnp.maximum(count, C + 1), count)
 
-        k = min(Cl + 1, Ml * Np)
-        vals, idx = lax.top_k(probf, k)
-        # largest candidate discarded by the cutoff (or by the cap) —
-        # reference pd_max bookkeeping (tnac4o/tnac4o.py:456-465)
-        kk = jnp.minimum(count_local, Cl)
-        disc_cut = jnp.where(kk < Ml * Np,
-                             vals[jnp.clip(kk, 0, k - 1)],
-                             jnp.asarray(NEG, vals.dtype))
-        if axis is not None:
-            disc_cut = lax.pmax(disc_cut, axis)
-        vals_c, idx_c = vals[:Cl], idx[:Cl]
+        if select == "compact" and axis is None:
+            # per-branch row top-k + cumsum/searchsorted assembly of the
+            # survivor set (see row_step) — at the large caps of the
+            # complete-tree retries (C >> 16*M) the global prob-ordered
+            # top_k is a full sort with a huge k and dominates the
+            # device phase (measured 42.9 s vs 2.7 s at L2048)
+            svals, sidx = lax.top_k(probf2d, Np)
+            live2 = svals > NEG / 2
+            flag2 = ((svals > cutoff) | (svals == pmax)) & live2
+            count_local = jnp.sum(flag2)
+            count = count_local
+            c_b = jnp.sum(flag2, axis=1)
+            offs = jnp.cumsum(c_b)
+            offs_excl = offs - c_b
+            j = jnp.arange(Cl)
+            b = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+                         0, Ml - 1).astype(jnp.int32)
+            r = jnp.clip(j - offs_excl[b], 0, Np - 1).astype(jnp.int32)
+            cvalid = j < jnp.minimum(count_local, Cl)
+            vals_c = jnp.where(cvalid, svals[b, r], NEG)
+            idx_c = jnp.where(cvalid, b * Np + sidx[b, r], 0)
+            gpos = offs_excl[:, None] + jnp.cumsum(
+                flag2.astype(jnp.int32), axis=1) - 1
+            disc_cut = jnp.maximum(
+                jnp.max(jnp.where(flag2 & (gpos >= Cl), svals, NEG)),
+                jnp.max(jnp.where(live2 & ~flag2, svals, NEG)))
+        else:
+            count_local = jnp.sum(probf > cutoff)
+            count = count_local
+            if axis is not None:
+                count = lax.psum(count_local, axis)
+                # a shard that truncated post-cutoff candidates at its
+                # local cap must flag the site even when the global count
+                # fits C
+                any_trunc = lax.pmax((count_local > Cl).astype(jnp.int32),
+                                     axis) > 0
+                count = jnp.where(any_trunc, jnp.maximum(count, C + 1),
+                                  count)
+
+            k = min(Cl + 1, Ml * Np)
+            vals, idx = lax.top_k(probf, k)
+            # largest candidate discarded by the cutoff (or by the cap) —
+            # reference pd_max bookkeeping (tnac4o/tnac4o.py:456-465)
+            kk = jnp.minimum(count_local, Cl)
+            disc_cut = jnp.where(kk < Ml * Np,
+                                 vals[jnp.clip(kk, 0, k - 1)],
+                                 jnp.asarray(NEG, vals.dtype))
+            if axis is not None:
+                disc_cut = lax.pmax(disc_cut, axis)
+            vals_c, idx_c = vals[:Cl], idx[:Cl]
         src_l = (idx_c // Np).astype(jnp.int32)
         indc = (idx_c % Np).astype(jnp.int32)
-        cvalid = valid[src_l] & (vals_c > cutoff) & (vals_c > NEG / 2)
-        # the best branch always survives, even below cutoff
-        # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
-        cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
+        if not (select == "compact" and axis is None):
+            cvalid = valid[src_l] & (vals_c > cutoff) & (vals_c > NEG / 2)
+            # the best branch always survives, even below cutoff
+            # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
+            cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
 
         E_cand = Eng[src_l] + Es_t[indc] + Esl_t[indc, vind[src_l, nx]] \
             + Esu_t[indc, vind[src_l, nx + 1]]
@@ -738,7 +769,7 @@ def _unpack_result(packed, M, L):
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                      graduate_truncation=True, fused=True, cand_factor=8,
-                     select="compact"):
+                     select="topk"):
     """Fully device-resident ground-state search (throughput mode).
 
     Single-chip driver around :func:`row_step`: the beam never leaves the
@@ -1046,7 +1077,7 @@ def _assemble_batched_results(beam, auxs, B):
 def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                     Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                     graduate_truncation=True, mesh=None, cand_factor=8,
-                    select="compact"):
+                    select="topk"):
     """Batched device-resident GS search over same-shape instances.
 
     The production fleet mode (BASELINE.md: 100 droplet instances x 4
@@ -1185,7 +1216,7 @@ def make_mesh(n_data, n_beam, devices=None):
 def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
                       min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
                       max_sweeps=20, graduate_truncation=True,
-                      cand_factor=8, select="compact"):
+                      cand_factor=8, select="topk"):
     """End-to-end multi-chip ground-state search over a ('data','beam')
     mesh: boundary-MPS stacks and row environments shard over instances
     ('data'); within each instance the beam's marginal evaluation shards
@@ -1279,7 +1310,7 @@ def sharded_search_gs(ctxs, mesh, M=2 ** 10, relative_P_cutoff=1e-6,
 
 
 def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
-                     select="compact"):
+                     select="topk"):
     """jit-compiled row step over a ('data','beam') mesh.
 
     Beam state arrays carry a leading instance axis sharded over 'data' and

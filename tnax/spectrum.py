@@ -694,6 +694,15 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
         negative_probability_core=min(globalmin_core, 0.0))
 
 
+def _records_select(C, M):
+    """Candidate-selection mode for the decision recorder: the global
+    prob-ordered top_k wins at production caps, but at the large caps of
+    complete-tree retries it degenerates into a full sort with a huge k
+    that dominates the device phase (measured 42.9 s vs 2.7 s per L2048
+    pass) — switch to the per-branch rowsort assembly there."""
+    return "compact" if C >= 16 * M else "topk"
+
+
 def device_search_spectrum(ins, ctx: ContractionContext,
                            excitations_encoding, M=2 ** 10,
                            relative_P_cutoff=1e-6, max_dEng=0.0, lim_hd=0,
@@ -760,7 +769,7 @@ def device_search_spectrum(ins, ctx: ContractionContext,
         beam, recs = par.row_records_prog(
             beam, row_tabs, ctx.rhoT[ny + 1], ctx.Wt[ny], M=M, C=C, Nx=Nx,
             bits=bits, min_dEng=float(min_dEng), log2_cutoff=log2_cutoff,
-            P=P)
+            P=P, select=_records_select(C, M))
         rec_handles.append(recs)
 
     import os as _os
@@ -1029,7 +1038,8 @@ def multi_search_spectrum(inss, ctxs, excitations_encoding, M=2 ** 10,
     rhoT, _, _, _ = jax.jit(build)(Wt)           # (B, Ny+1, Nx, D, lv, D)
 
     prog = partial(par.row_records_prog, M=M, C=C, Nx=Nx, bits=bits,
-                   min_dEng=float(min_dEng), log2_cutoff=log2_cutoff, P=P)
+                   min_dEng=float(min_dEng), log2_cutoff=log2_cutoff, P=P,
+                   select=_records_select(C, M))
     progB = jax.jit(jax.vmap(prog))
 
     beam = dict(vind=jnp_.zeros((B, M, Nx + 1), jnp_.int32),
