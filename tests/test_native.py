@@ -114,3 +114,28 @@ def test_elementary_vs_python(lib):
 def test_spectrum_module_uses_native(lib):
     assert native.lib() is not None
     assert spectrum._native.lib() is not None
+
+
+def test_native_spins_matches_python():
+    """CSR spin expansion (tnax_spins) == the pure-Python xor2ind walk."""
+    import tnax
+    from tnax import spectrum, native
+    if native.lib() is None:
+        import pytest
+        pytest.skip("no C toolchain")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_search_small import make_chimera_like
+    J = make_chimera_like(np.random.default_rng(0), 2, 2, 4)
+    ins = tnax.Solver(mode="Ising", Nx=2, Ny=2, Nc=4, beta=1, J=J)
+    spectrum.reset_adjacency(ins, ins.problem.J, 2, 2, ins.problem.ind)
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = rng.integers(1, 4)
+        dpos = np.sort(rng.choice(4, size=n, replace=False)).astype(np.int64)
+        dstate = np.array([rng.integers(1, len(ins.xor2ind[p]))
+                           for p in dpos], dtype=np.int64)
+        want = np.hstack([ins.xor2ind[p][s]
+                          for p, s in zip(dpos, dstate)]).astype(np.int64)
+        got = spectrum._flipped_spins(ins, dpos, dstate)
+        assert np.array_equal(got, want)

@@ -64,6 +64,11 @@ def lib():
         L.tnax_elementary.restype = ctypes.c_int
         L.tnax_elementary.argtypes = [_u64p, ctypes.c_int64, _i64p,
                                       ctypes.c_int64]
+        # raw pointers: ndpointer validation costs ~50 us/call in
+        # ctypes, and this kernel is called once per droplet
+        L.tnax_spins.restype = ctypes.c_int64
+        L.tnax_spins.argtypes = [ctypes.c_void_p] * 5 \
+            + [ctypes.c_int64, ctypes.c_void_p]
         _LIB = L
     except Exception as e:  # pragma: no cover - no toolchain
         logger.info("native droplet kernels unavailable (%s); "

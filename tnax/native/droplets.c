@@ -132,3 +132,20 @@ int tnax_elementary(const uint64_t *adj_bits, int64_t W,
     free(queue);
     return remaining == 0;
 }
+
+/* Expand the flipped-spin ids of a droplet from a CSR view of the
+ * xor2ind tables (reference _exc_xor2ind, tnac4o/tnac4o.py:2081-2085):
+ * slot = site_base[dpos[t]] + dstate[t]; spins = concat of
+ * values[starts[slot]:starts[slot+1]]. Returns the count. */
+int64_t tnax_spins(const int64_t *starts, const int64_t *values,
+                   const int64_t *site_base, const int64_t *dpos,
+                   const int64_t *dstate, int64_t n, int64_t *out) {
+    int64_t k = 0;
+    for (int64_t t = 0; t < n; t++) {
+        int64_t slot = site_base[dpos[t]] + dstate[t];
+        int64_t a = starts[slot], b = starts[slot + 1];
+        memcpy(out + k, values + a, (size_t)(b - a) * sizeof(int64_t));
+        k += b - a;
+    }
+    return k;
+}

@@ -154,6 +154,21 @@ def reset_adjacency(ins, J, Nx, Ny, ind):
                 act = np.asarray(ind[ny][nx])
                 bits = block_bits(len(act)).astype(bool)
                 ins.xor2ind.append([act[bits[i]] for i in range(2 ** len(act))])
+        # CSR view of the same tables for the native expansion kernel:
+        # slot = site_base[p] + s -> values[starts[slot]:starts[slot+1]]
+        site_base = np.zeros(len(ins.xor2ind) + 1, np.int64)
+        for p, tab in enumerate(ins.xor2ind):
+            site_base[p + 1] = site_base[p] + len(tab)
+        lens = [len(v) for tab in ins.xor2ind for v in tab]
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        values = np.concatenate(
+            [np.asarray(v, np.int64) for tab in ins.xor2ind for v in tab]
+            or [np.zeros(0, np.int64)])
+        ins._xor_csr = (np.ascontiguousarray(starts),
+                        np.ascontiguousarray(values),
+                        np.ascontiguousarray(site_base[:-1]),
+                        int(max(lens) if lens else 0))
     else:
         ins.adj_Nx, ins.adj_Ny = Nx, Ny
 
@@ -169,7 +184,22 @@ def reset_adjacency_from_saved(ins, adj):
 
 def _flipped_spins(ins, dpos, dstate):
     """Global ids of flipped spins (reference `_exc_xor2ind`,
-    `tnac4o/tnac4o.py:2081-2085`)."""
+    `tnac4o/tnac4o.py:2081-2085`). Native CSR expansion when available —
+    the hottest pure-Python helper of the spectrum replay."""
+    L = _native.lib()
+    csr = getattr(ins, "_xor_csr", None)
+    if L is not None and csr is not None:
+        starts, values, site_base, maxlen = csr
+        if dpos.dtype != np.int64:
+            dpos = dpos.astype(np.int64)
+        if dstate.dtype != np.int64:
+            dstate = dstate.astype(np.int64)
+        n = len(dpos)
+        out = np.empty(n * maxlen, np.int64)
+        k = L.tnax_spins(starts.ctypes.data, values.ctypes.data,
+                         site_base.ctypes.data, dpos.ctypes.data,
+                         dstate.ctypes.data, n, out.ctypes.data)
+        return out[:k]
     return np.hstack([ins.xor2ind[p][s] for p, s in zip(dpos, dstate)]) \
         .astype(np.int64, copy=False)
 
