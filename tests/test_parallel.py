@@ -292,3 +292,23 @@ def test_gs_degeneracy_capped_vs_uncapped():
                                        Dmax=16, cand_factor=1)
     assert capped["merge_overflow"] > 0
     assert capped["degeneracy"] <= ins.degeneracy
+
+
+def test_flagship_fused_matches_separate_phases():
+    """The one-dispatch flagship program (ladder + PEPS + boundary +
+    search fused) finds the same ground state as the separate-phase
+    pipeline (device ladder semantics verified against scipy in
+    test_precondition_device)."""
+    rng = np.random.default_rng(3)
+    Nx, Ny, Nc = 3, 3, 4
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    ins.precondition(mode="balancing")
+    r1 = parallel.device_search_gs(ins._context(), M=64,
+                                   relative_P_cutoff=1e-10, Dmax=8)
+    ins2 = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    r2 = parallel.flagship_search_gs(ins2, M=64, relative_P_cutoff=1e-10,
+                                     Dmax=8)
+    assert abs(r1["energy"] - r2["energy"]) < 1e-3   # packed f32 rounding
+    assert (r1["states"] == r2["states"]).all()
+    assert r1["degeneracy"] == r2["degeneracy"]

@@ -870,6 +870,134 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                 discarded_probability=pd, merge_overflow=ovf)
 
 
+@partial(jax.jit, static_argnames=(
+    "M", "Nx", "bits", "min_dEng", "log2_cutoff", "cand", "select",
+    "Dmax", "tolS", "tolV", "max_sweeps", "graduate", "lh", "lv",
+    "pre_Dmax", "pre_sweeps", "pre_graduate"))
+def _flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
+                   EsR, EslR, EsuR, nvalid, cols, beta, *, M, Nx, bits,
+                   min_dEng, log2_cutoff, cand, select, Dmax, tolS, tolV,
+                   max_sweeps, graduate, lh, lv, pre_Dmax, pre_sweeps,
+                   pre_graduate):
+    """The ENTIRE single-instance flagship pipeline as ONE jitted
+    program: balancing beta ladder (gauges), gauged Boltzmann/PEPS row
+    tensors at the target beta, boundary-MPS stack, and the full beam
+    search — one dispatch, one packed result pull. Removes every host
+    round trip between the phases (each dispatch/pull over a tunneled
+    accelerator link costs ~50 ms, and the separate-phase flagship paid
+    several plus a gauge download/upload)."""
+    from . import precondition as pre
+    dtype = Es.dtype
+    X, _ = pre._ladder_program(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+                               max_scale, Dmax=pre_Dmax, tolS=tolS,
+                               tolV=tolV, max_sweeps=pre_sweeps,
+                               graduate=pre_graduate, lh=lh, lv=lv)
+    lB, Wt = engine.peps_rows(Es, Esl, Esu, dmap, rmap, X["Xl"], X["Xr"],
+                              X["Xu"], X["Xd"], beta, lh=lh, lv=lv)
+    Ny = Wt.shape[0]
+    drindex = (dmap * lh + rmap).astype(jnp.int32)
+    grid_in = dict(lB=lB, drindex=drindex, Es=EsR, Esl=EslR, Esu=EsuR,
+                   dmap=dmap, rmap=rmap, nvalid=nvalid, cols=cols)
+    beam0 = dict(
+        RL=jnp.zeros((M, Dmax), dtype).at[:, 0].set(1.0),
+        vind=jnp.zeros((M, Nx + 1), jnp.int32),
+        states=jnp.zeros((M, Nx * Ny), jnp.int32),
+        Eng=jnp.zeros((M,), dtype),
+        prob=jnp.full((M,), NEG, dtype).at[0].set(0.0),
+        deg=deg_ones((M,)),
+        valid=jnp.zeros((M,), bool).at[0].set(True),
+        aidx=jnp.arange(M, dtype=jnp.int32),
+    )
+    rhoT, _, _, _ = engine.build_rhoT(Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                      max_sweeps=max_sweeps,
+                                      graduate=graduate)
+    beam, aux = full_search_scan(beam0, grid_in, rhoT, Wt, M=M, Nx=Nx,
+                                 bits=bits, min_dEng=min_dEng,
+                                 log2_cutoff=log2_cutoff, cand=cand,
+                                 select=select)
+    return _pack_result(beam, aux)
+
+
+def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
+                       min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
+                       max_sweeps=20, graduate_truncation=True,
+                       cand_factor=8, select="topk", pre_steps=2,
+                       pre_Dmax=8, pre_sweeps=20, max_scale=1024):
+    """One-dispatch flagship GS search: balancing preconditioner ladder +
+    boundary build + device beam search fused into a single program
+    (:func:`_flagship_prog`). Same semantics as
+    ``ins.precondition(mode='balancing'); device_search_gs(...)`` with the
+    ladder's device path; f32 compute dtype assumed (packed result).
+
+    Returns the :func:`device_search_gs` result dict.
+    """
+    from . import engine as eng
+    from .config import compute_dtype
+    dtype = compute_dtype()
+    g = eng.pad_grid(ins.problem)
+    Ny, Nx, Np, lh, lv = g.Ny, g.Nx, g.Np, g.lh, g.lv
+    bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff))         if relative_P_cutoff > 0 else NEG
+    cand = None if cand_factor is None else int(cand_factor) * M
+    betas = jnp.asarray([ins.beta * 2.0 ** (nn - pre_steps)
+                         for nn in range(pre_steps)], dtype)
+    ms = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
+    X0 = {k: jnp.asarray(v, dtype)
+          for k, v in eng.identity_gauges(g).items()}
+    ndall = jnp.asarray(ins.problem.ld[: Ny - 1], jnp.int32)
+    EsR, EslR, EsuR = _padded_energy_rows_problem(ins.problem, dtype)
+    nvalid = jnp.asarray(g.nstates, jnp.int32)
+    cols = (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+            + jnp.arange(Nx, dtype=jnp.int32)[None, :])
+    packed = _flagship_prog(
+        jnp.asarray(g.Es, dtype), jnp.asarray(g.Esl, dtype),
+        jnp.asarray(g.Esu, dtype), jnp.asarray(g.dmap),
+        jnp.asarray(g.rmap), X0, betas, ndall, jnp.asarray(ms, dtype),
+        EsR, EslR, EsuR, nvalid, cols, jnp.asarray(ins.beta, dtype),
+        M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+        log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
+        tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation, lh=lh, lv=lv, pre_Dmax=pre_Dmax,
+        pre_sweeps=pre_sweeps, pre_graduate=False)
+    states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
+        np.asarray(packed), M, Nx * Ny)
+    Eng, prob, deg, states = (Eng[valid], prob[valid], deg[valid],
+                              states[valid])
+    best = int(np.argmin(Eng))
+    return dict(energy=Eng[best], states=states[best], prob=prob[best],
+                degeneracy=int(deg[best]),
+                negative_probability=min(0.0, mq),
+                negative_probability_core=min(0.0, mqc),
+                discarded_probability=pd, merge_overflow=int(ovf))
+
+
+def _padded_energy_rows_problem(problem, dtype):
+    """Raw (unshifted) energy tables padded to grid shapes, keyed on the
+    problem (the context-level cache in :func:`_padded_energy_rows`
+    rebuilds per context; the tables depend only on the problem)."""
+    key = str(dtype)
+    cached = getattr(problem, "_energy_rows_cache_p", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    from . import engine as eng
+    g = eng.pad_grid(problem)
+    Ny, Nx, Np, lh, lv = g.Ny, g.Nx, g.Np, g.lh, g.lv
+    Es = np.zeros((Ny, Nx, Np))
+    Esl = np.zeros((Ny, Nx, Np, lh))
+    Esu = np.zeros((Ny, Nx, Np, lv))
+    for ny in range(Ny):
+        for nx in range(Nx):
+            t = problem.site(ny, nx)
+            n = len(t.Es)
+            Es[ny, nx, :n] = t.Es
+            Esl[ny, nx, :n, :t.Esl.shape[1]] = t.Esl
+            Esu[ny, nx, :n, :t.Esu.shape[1]] = t.Esu
+    out = (jnp.asarray(Es, dtype), jnp.asarray(Esl, dtype),
+           jnp.asarray(Esu, dtype))
+    problem._energy_rows_cache_p = (key, out)
+    return out
+
+
 def exact_energies(ctx, states):
     """Exact float64 energies of block-state configurations, replayed on the
     host from the raw energy tables (states in the current rotation's snake
