@@ -312,3 +312,23 @@ def test_flagship_fused_matches_separate_phases():
     assert abs(r1["energy"] - r2["energy"]) < 1e-3   # packed f32 rounding
     assert (r1["states"] == r2["states"]).all()
     assert r1["degeneracy"] == r2["degeneracy"]
+
+
+def test_fleet_flagship_matches_single():
+    """multi_flagship_search_gs (the vmapped one-dispatch fleet program)
+    is bit-identical to flagship_search_gs run per instance."""
+    rng = np.random.default_rng(7)
+    Nx, Ny, Nc = 3, 3, 4
+    Js = [make_chimera_like(rng, Nx, Ny, Nc) for _ in range(3)]
+    solvers = [tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+               for J in Js]
+    rs = parallel.multi_flagship_search_gs(solvers, M=64,
+                                           relative_P_cutoff=1e-10,
+                                           Dmax=8)
+    for J, r in zip(Js, rs):
+        ins2 = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        r1 = parallel.flagship_search_gs(ins2, M=64,
+                                         relative_P_cutoff=1e-10, Dmax=8)
+        assert (np.asarray(r["states"]) == np.asarray(r1["states"])).all()
+        assert abs(r["energy"] - r1["energy"]) < 1e-4
+        assert r["degeneracy"] == r1["degeneracy"]

@@ -870,22 +870,20 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                 discarded_probability=pd, merge_overflow=ovf)
 
 
-@partial(jax.jit, static_argnames=(
-    "M", "Nx", "bits", "min_dEng", "log2_cutoff", "cand", "select",
-    "Dmax", "tolS", "tolV", "max_sweeps", "graduate", "lh", "lv",
-    "pre_Dmax", "pre_sweeps", "pre_graduate"))
-def _flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
+def _flagship_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
                    EsR, EslR, EsuR, nvalid, cols, beta, *, M, Nx, bits,
                    min_dEng, log2_cutoff, cand, select, Dmax, tolS, tolV,
                    max_sweeps, graduate, lh, lv, pre_Dmax, pre_sweeps,
                    pre_graduate):
-    """The ENTIRE single-instance flagship pipeline as ONE jitted
-    program: balancing beta ladder (gauges), gauged Boltzmann/PEPS row
+    """The ENTIRE single-instance flagship pipeline as one traceable
+    function: balancing beta ladder (gauges), gauged Boltzmann/PEPS row
     tensors at the target beta, boundary-MPS stack, and the full beam
     search — one dispatch, one packed result pull. Removes every host
     round trip between the phases (each dispatch/pull over a tunneled
     accelerator link costs ~50 ms, and the separate-phase flagship paid
-    several plus a gauge download/upload)."""
+    several plus a gauge download/upload). Jitted single-instance as
+    :func:`_flagship_prog`; vmapped over an instance batch in
+    :func:`_fleet_flagship_prog`."""
     from . import precondition as pre
     dtype = Es.dtype
     X, _ = pre._ladder_program(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
@@ -916,6 +914,124 @@ def _flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
                                  log2_cutoff=log2_cutoff, cand=cand,
                                  select=select)
     return _pack_result(beam, aux)
+
+
+_FLAGSHIP_STATICS = ("M", "Nx", "bits", "min_dEng", "log2_cutoff", "cand",
+                     "select", "Dmax", "tolS", "tolV", "max_sweeps",
+                     "graduate", "lh", "lv", "pre_Dmax", "pre_sweeps",
+                     "pre_graduate")
+
+_flagship_prog = partial(jax.jit, static_argnames=_FLAGSHIP_STATICS)(
+    _flagship_body)
+
+
+@partial(jax.jit, static_argnames=_FLAGSHIP_STATICS)
+def _fleet_flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+                         max_scale, EsR, EslR, EsuR, nvalid, cols, beta,
+                         *, M, Nx, bits, min_dEng, log2_cutoff, cand,
+                         select, Dmax, tolS, tolV, max_sweeps, graduate,
+                         lh, lv, pre_Dmax, pre_sweeps, pre_graduate):
+    """The flagship pipeline vmapped over an instance batch: ONE compile
+    and ONE dispatch covers preconditioning ladder + PEPS rows + boundary
+    stack + full beam search for B same-shape instances. This is the
+    production fleet path — the previous fleet mode compiled TWO large
+    programs (`precondition_fleet`'s vmapped ladder and
+    `_fleet_search_prog`) and crossed the host between them; fusing
+    halves the remote-compile cost and drops the gauge download/upload.
+    `betas`/`max_scale`/`beta` are shared across the batch (in_axes
+    None); everything else carries a leading instance axis."""
+    body = partial(_flagship_body, M=M, Nx=Nx, bits=bits,
+                   min_dEng=min_dEng, log2_cutoff=log2_cutoff, cand=cand,
+                   select=select, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                   max_sweeps=max_sweeps, graduate=graduate, lh=lh, lv=lv,
+                   pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
+                   pre_graduate=pre_graduate)
+    return jax.vmap(
+        lambda Es_, Esl_, Esu_, dm_, rm_, X0_, nd_, EsR_, EslR_, EsuR_,
+        nv_, co_: body(Es_, Esl_, Esu_, dm_, rm_, X0_, betas, nd_,
+                       max_scale, EsR_, EslR_, EsuR_, nv_, co_, beta)
+    )(Es, Esl, Esu, dmap, rmap, X0, ndall, EsR, EslR, EsuR, nvalid, cols)
+
+
+def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
+                             min_dEng=1e-12, Dmax=32, tolS=1e-16,
+                             tolV=1e-10, max_sweeps=20,
+                             graduate_truncation=True, cand_factor=8,
+                             select="topk", pre_steps=2, pre_Dmax=8,
+                             pre_sweeps=20, max_scale=1024):
+    """One-dispatch fleet GS search: the fused flagship pipeline
+    (balancing ladder + boundary build + beam search,
+    :func:`_flagship_body`) vmapped over a batch of same-shape Solver
+    instances. Per-instance results match :func:`flagship_search_gs`
+    bit-for-bit (vmap of the identical program). f32 compute dtype
+    assumed (packed result pull).
+
+    Returns a list of :func:`device_search_gs`-style result dicts.
+    """
+    from . import engine as eng
+    from .config import compute_dtype
+    assert solvers, "need at least one solver"
+    dtype = compute_dtype()
+    grids = [eng.pad_grid(ins.problem) for ins in solvers]
+    g0 = grids[0]
+    for g in grids:
+        assert (g.Ny, g.Nx, g.Np, g.lh, g.lv) == \
+            (g0.Ny, g0.Nx, g0.Np, g0.lh, g0.lv), \
+            "fleet flagship needs same-shape instances"
+    beta0 = solvers[0].beta
+    for ins in solvers:
+        assert ins.beta == beta0, "fleet flagship shares one beta"
+    Ny, Nx, Np, lh, lv = g0.Ny, g0.Nx, g0.Np, g0.lh, g0.lv
+    bits = max(1, int(np.ceil(np.log2(max(lh, lv)))))
+    log2_cutoff = float(np.log2(relative_P_cutoff)) \
+        if relative_P_cutoff > 0 else NEG
+    cand = None if cand_factor is None else int(cand_factor) * M
+    betas = jnp.asarray([beta0 * 2.0 ** (nn - pre_steps)
+                         for nn in range(pre_steps)], dtype)
+    ms = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
+    Es = jnp.stack([jnp.asarray(g.Es, dtype) for g in grids])
+    Esl = jnp.stack([jnp.asarray(g.Esl, dtype) for g in grids])
+    Esu = jnp.stack([jnp.asarray(g.Esu, dtype) for g in grids])
+    dmap = jnp.stack([jnp.asarray(g.dmap) for g in grids])
+    rmap = jnp.stack([jnp.asarray(g.rmap) for g in grids])
+    X0 = {}
+    for k, v in eng.identity_gauges(g0).items():
+        X0[k] = jnp.broadcast_to(jnp.asarray(v, dtype)[None],
+                                 (len(grids),) + v.shape)
+    ndall = jnp.stack([jnp.asarray(ins.problem.ld[: Ny - 1], jnp.int32)
+                       for ins in solvers])
+    rows = [_padded_energy_rows_problem(ins.problem, dtype)
+            for ins in solvers]
+    EsR = jnp.stack([r[0] for r in rows])
+    EslR = jnp.stack([r[1] for r in rows])
+    EsuR = jnp.stack([r[2] for r in rows])
+    nvalid = jnp.stack([jnp.asarray(g.nstates, jnp.int32) for g in grids])
+    cols = jnp.broadcast_to(
+        (jnp.arange(Ny, dtype=jnp.int32)[:, None] * Nx
+         + jnp.arange(Nx, dtype=jnp.int32)[None, :])[None],
+        (len(grids), Ny, Nx))
+    packed = _fleet_flagship_prog(
+        Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+        jnp.asarray(ms, dtype), EsR, EslR, EsuR, nvalid, cols,
+        jnp.asarray(beta0, dtype),
+        M=M, Nx=Nx, bits=bits, min_dEng=min_dEng,
+        log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
+        tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
+        graduate=graduate_truncation, lh=lh, lv=lv, pre_Dmax=pre_Dmax,
+        pre_sweeps=pre_sweeps, pre_graduate=False)
+    packed = np.asarray(packed)                             # ONE pull
+    results = []
+    for b in range(len(solvers)):
+        states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
+            packed[b], M, Nx * Ny)
+        best = int(np.argmin(np.where(valid, Eng, np.inf)))
+        results.append(dict(energy=Eng[best], states=states[best],
+                            prob=prob[best], degeneracy=int(deg[best]),
+                            negative_probability=min(0.0, mq),
+                            negative_probability_core=min(0.0, mqc),
+                            discarded_probability=pd,
+                            merge_overflow=int(ovf)))
+    return results
 
 
 def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,

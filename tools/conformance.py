@@ -130,6 +130,12 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
         Js[k] = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
         best[k] = np.inf
     pending = sorted(Js)
+    # force backend/tunnel init so batch timings separate infra from
+    # compile (first jnp op pays the full tunnel handshake)
+    t_init = time.time()
+    np.asarray(__import__("jax").numpy.zeros(1) + 1)
+    print(json.dumps({"backend_init_s": round(time.time() - t_init, 2)}),
+          flush=True)
     for rot in range(max_rot):
         if not pending:
             break
@@ -147,17 +153,20 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                 if rot:
                     ins.rotate_graph(rot=rot)
                 solvers.append(ins)
+            tb = time.time()
             if precondition:
-                # whole batch's beta ladders in ONE vmapped device program
-                # (bit-identical to per-instance Solver.precondition)
-                from tnax import precondition as pre
-                betas = [3 * 2.0 ** (nn - 2) for nn in range(2)]
-                for ins, X in zip(solvers, pre.precondition_fleet(
-                        [s.problem for s in solvers], betas)):
-                    ins._gauges = X
-            ctxs = [ins._context() for ins in solvers]
-            rs = parallel.multi_search_gs(ctxs, M=M,
-                                          relative_P_cutoff=1e-8, Dmax=D)
+                # fused fleet flagship: ladder + boundary + search for the
+                # whole batch in ONE compiled program / ONE dispatch
+                rs = parallel.multi_flagship_search_gs(
+                    solvers, M=M, relative_P_cutoff=1e-8, Dmax=D)
+            else:
+                ctxs = [ins._context() for ins in solvers]
+                rs = parallel.multi_search_gs(ctxs, M=M,
+                                              relative_P_cutoff=1e-8,
+                                              Dmax=D)
+            print(json.dumps({"batch0": group[0], "rot": rot,
+                              "batch_s": round(time.time() - tb, 2)}),
+                  flush=True)
             for k, ins, r in zip(group, solvers, rs):
                 ins.states = np.asarray(r["states"])[None, :][:, ins.order]
                 E = float(tnax.energy_Jij(Js[k], ins.binary_states())[0])
@@ -191,7 +200,6 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=2):
     degeneracy among the best over the 4 rotations. Preconditioning runs
     as one vmapped fleet ladder per dispatch."""
     from tnax import parallel
-    from tnax import precondition as pre
     Nx = Ny = C
     oracle = j124_oracle(C)
     results = []
@@ -213,13 +221,14 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=2):
                     ins.rotate_graph(rot=rot)
                 solvers.append(ins)
         if precondition:
-            betas = [0.75 * 2.0 ** (nn - 2) for nn in range(2)]
-            for ins, X in zip(solvers, pre.precondition_fleet(
-                    [s.problem for s in solvers], betas)):
-                ins._gauges = X
-        ctxs = [ins._context() for ins in solvers]
-        rs = parallel.multi_search_gs(ctxs, M=M, relative_P_cutoff=1e-8,
-                                      Dmax=D)
+            # fused fleet flagship: one compile/dispatch per batch of
+            # group x 4 rotations
+            rs = parallel.multi_flagship_search_gs(
+                solvers, M=M, relative_P_cutoff=1e-8, Dmax=D)
+        else:
+            ctxs = [ins._context() for ins in solvers]
+            rs = parallel.multi_search_gs(ctxs, M=M,
+                                          relative_P_cutoff=1e-8, Dmax=D)
         dt = time.time() - t0
         for gi, ins_no in enumerate(batch):
             best_E, best_deg, ovf = np.inf, 0, 0
@@ -341,8 +350,7 @@ if __name__ == "__main__":
     p.set_defaults(pre=True)
     args = p.parse_args()
 
-    if args.family == "j124" and args.batch_rot and not args.only \
-            and args.path != "host":
+    if args.family == "j124" and args.batch_rot and not args.only:
         res = run_j124_batched(args.C, args.n, args.D or 48,
                                args.M or 4096, args.pre, start=args.start,
                                group=args.group)
