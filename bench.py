@@ -72,14 +72,15 @@ def main():
     def once():
         t0 = time.time()
         ins._gauges = None
-        ins.precondition(mode="balancing")  # f32 stability at beta=3
-        ctx = ins._context()
         if path == "device":
-            res = parallel.device_search_gs(ctx, M=M,
-                                            relative_P_cutoff=1e-8, Dmax=D,
-                                            select=select)
+            # one-dispatch flagship: ladder + boundary + search fused
+            res = parallel.flagship_search_gs(ins, M=M,
+                                              relative_P_cutoff=1e-8,
+                                              Dmax=D, select=select)
             states = res["states"][None, :]
         else:
+            ins.precondition(mode="balancing")  # f32 stability at beta=3
+            ctx = ins._context()
             from tnax import search as S
             res = S.search_ground_state(ctx, M=M, relative_P_cutoff=1e-8,
                                         Dmax=D)
@@ -166,7 +167,6 @@ def _fleet_metric(n):
     warm end-to-end pipeline — instance load, vmapped precondition
     ladder, one-dispatch batched boundary+search, exact host energy — on
     a fresh instance set after one compile batch."""
-    from tnax import precondition as pre
     Nx, Ny, Nc = SHAPES[512]
 
     def batch(ids):
@@ -179,13 +179,9 @@ def _fleet_metric(n):
             Js.append(tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75))
             solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
                                        J=Js[-1], beta=3))
-        betas = [3 * 2.0 ** (nn - 2) for nn in range(2)]
-        for ins, X in zip(solvers, pre.precondition_fleet(
-                [s.problem for s in solvers], betas)):
-            ins._gauges = X
-        ctxs = [ins._context() for ins in solvers]
-        rs = parallel.multi_search_gs(ctxs, M=1024,
-                                      relative_P_cutoff=1e-8, Dmax=32)
+        rs = parallel.multi_flagship_search_gs(solvers, M=1024,
+                                               relative_P_cutoff=1e-8,
+                                               Dmax=32)
         for J, ins, r in zip(Js, solvers, rs):
             ins.states = r["states"][None, :][:, ins.order]
             tnax.energy_Jij(J, ins.binary_states())

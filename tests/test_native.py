@@ -139,3 +139,38 @@ def test_native_spins_matches_python():
                           for p, s in zip(dpos, dstate)]).astype(np.int64)
         got = spectrum._flipped_spins(ins, dpos, dstate)
         assert np.array_equal(got, want)
+
+
+def test_elem_batch_matches_per_loser():
+    """Batched site-level connectivity flags (tnax_elem_batch) == the
+    per-loser exc_elementary calls they replace."""
+    import tnax
+    from tnax import spectrum, native
+    if native.lib() is None:
+        import pytest
+        pytest.skip("no C toolchain")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_search_small import make_chimera_like
+    rng = np.random.default_rng(5)
+    J = make_chimera_like(rng, 3, 3, 4)
+    ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=4, beta=1, J=J)
+    spectrum.reset_adjacency(ins, ins.problem.J, 3, 3, ins.problem.ind)
+    nsites = len(ins.xor2ind)
+    dpos_all, dstate_all, bounds = [], [], [0]
+    for _ in range(200):
+        n = int(rng.integers(1, 5))
+        dpos = np.sort(rng.choice(nsites, size=n,
+                                  replace=False)).astype(np.int64)
+        dstate = np.array([rng.integers(1, len(ins.xor2ind[p]))
+                           for p in dpos], np.int64)
+        dpos_all.append(dpos)
+        dstate_all.append(dstate)
+        bounds.append(bounds[-1] + n)
+    flags = spectrum._elem_batch(ins, np.concatenate(dpos_all),
+                                 np.concatenate(dstate_all),
+                                 np.asarray(bounds, np.int64))
+    assert flags is not None
+    for t, (dpos, dstate) in enumerate(zip(dpos_all, dstate_all)):
+        assert bool(flags[t]) == bool(
+            spectrum.exc_elementary(ins, dpos, dstate))

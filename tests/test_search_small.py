@@ -202,3 +202,24 @@ def test_negative_probability_core_plumbing():
         back = tnax.load(fn)
         assert back.negative_probability_core == \
             ins.negative_probability_core
+
+
+def test_seeded_noise_reproducible():
+    """np.random.seed + add_noise is reproducible (the reference uses the
+    global legacy RNG, tnac4o/tnac4o.py:928-941); identical seeded runs
+    must decode identical spectra."""
+    rng = np.random.default_rng(11)
+    J = make_chimera_like(rng, 2, 2, 4)
+
+    def noisy():
+        ins = tnax.Solver(mode="Ising", Nx=2, Ny=2, Nc=4, beta=2, J=J)
+        np.random.seed(123)
+        ins.add_noise(amplitude=1e-7)
+        return ins
+
+    from tnax import engine
+    i1, i2 = noisy(), noisy()
+    g1 = engine.pad_grid(i1.problem)
+    g2 = engine.pad_grid(i2.problem)
+    assert np.array_equal(g1.Es, g2.Es)
+    assert np.array_equal(g1.Esl, g2.Esl)

@@ -69,6 +69,11 @@ def lib():
         L.tnax_spins.restype = ctypes.c_int64
         L.tnax_spins.argtypes = [ctypes.c_void_p] * 5 \
             + [ctypes.c_int64, ctypes.c_void_p]
+        L.tnax_elem_batch.restype = ctypes.c_int
+        L.tnax_elem_batch.argtypes = [ctypes.c_void_p] * 4 \
+            + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+               ctypes.c_void_p]
         _LIB = L
     except Exception as e:  # pragma: no cover - no toolchain
         logger.info("native droplet kernels unavailable (%s); "

@@ -149,3 +149,54 @@ int64_t tnax_spins(const int64_t *starts, const int64_t *values,
     }
     return k;
 }
+
+/* Batched elementary test: for each of n droplets (CSR rows of block-site
+ * flips, bounds[t]..bounds[t+1] into dpos/dstate), expand the flipped
+ * spins via the xor2ind CSR (as tnax_spins) and run the connectivity BFS
+ * (as tnax_elementary) — one call per lattice site instead of two ctypes
+ * calls per loser. out[t] = 0/1; returns -1 on allocation failure. */
+int tnax_elem_batch(const int64_t *starts, const int64_t *values,
+                    const int64_t *site_base, const uint64_t *adj_bits,
+                    int64_t W, const int64_t *dpos, const int64_t *dstate,
+                    const int64_t *bounds, int64_t n, int64_t max_spins,
+                    int64_t *out) {
+    uint64_t *rest = (uint64_t *)malloc((size_t)W * sizeof(uint64_t));
+    int64_t *spins = (int64_t *)malloc((size_t)max_spins * sizeof(int64_t));
+    int64_t *queue = (int64_t *)malloc((size_t)max_spins * sizeof(int64_t));
+    if (!rest || !spins || !queue) {
+        free(rest); free(spins); free(queue); return -1;
+    }
+    for (int64_t t = 0; t < n; t++) {
+        int64_t k = 0;
+        for (int64_t u = bounds[t]; u < bounds[t + 1]; u++) {
+            int64_t slot = site_base[dpos[u]] + dstate[u];
+            int64_t a = starts[slot], b = starts[slot + 1];
+            memcpy(spins + k, values + a, (size_t)(b - a) * sizeof(int64_t));
+            k += b - a;
+        }
+        if (k <= 1) { out[t] = 1; continue; }
+        memset(rest, 0, (size_t)W * sizeof(uint64_t));
+        for (int64_t i = 1; i < k; i++)
+            rest[spins[i] >> 6] |= 1ULL << (spins[i] & 63);
+        int64_t head = 0, tail = 0;
+        queue[tail++] = spins[0];
+        int64_t remaining = k - 1;
+        while (head < tail && remaining > 0) {
+            const uint64_t *nb = adj_bits + queue[head++] * W;
+            for (int64_t w = 0; w < W; w++) {
+                uint64_t hit = nb[w] & rest[w];
+                if (!hit) continue;
+                rest[w] &= ~hit;
+                while (hit) {
+                    int b = __builtin_ctzll(hit);
+                    queue[tail++] = (w << 6) + b;
+                    remaining--;
+                    hit &= hit - 1;
+                }
+            }
+        }
+        out[t] = remaining == 0;
+    }
+    free(rest); free(spins); free(queue);
+    return 0;
+}

@@ -341,11 +341,18 @@ class IsingProblem(Problem):
 
     def add_noise(self, amplitude=1e-7, rng=None):
         """Uniform noise on the nonzero couplings
-        (reference `tnac4o/tnac4o.py:928-933`)."""
-        rng = np.random.default_rng() if rng is None else rng
+        (reference `tnac4o/tnac4o.py:928-933`).
+
+        With ``rng=None`` the *global* legacy NumPy RNG is used — the
+        reference calls ``np.random.rand``, so ``np.random.seed(s);
+        solver.add_noise(...)`` must reproduce the same noise here
+        (an unseeded ``default_rng()`` silently broke run-to-run
+        reproducibility of degenerate-spectrum decodes)."""
         J = self.J.tolil()
         rows, cols = J.nonzero()
-        noise = (rng.random(len(rows)) * 2 - 1) * amplitude
+        u = np.random.rand(len(rows)) if rng is None \
+            else rng.random(len(rows))
+        noise = (u * 2 - 1) * amplitude
         for i, j, k in zip(rows, cols, noise):
             J[i, j] += k
         self.J = J.tocsr()
@@ -476,14 +483,16 @@ class RMFProblem(Problem):
         return order_i
 
     def add_noise(self, amplitude=1e-7, rng=None):
-        """Noise on 1-site factors (reference `tnac4o/tnac4o.py:935-941`)."""
-        rng = np.random.default_rng() if rng is None else rng
+        """Noise on 1-site factors (reference `tnac4o/tnac4o.py:935-941`).
+        ``rng=None`` uses the global legacy RNG for seeded
+        reproducibility, matching the reference's ``np.random.rand``."""
         fun_new = {}
         for key, val in self.J["fun"].items():
             fun_new[key] = np.array(val, dtype=float)
             if fun_new[key].ndim == 1:
-                fun_new[key] = fun_new[key] + \
-                    (rng.random(fun_new[key].shape[0]) * 2 - 1) * amplitude
+                n = fun_new[key].shape[0]
+                u = np.random.rand(n) if rng is None else rng.random(n)
+                fun_new[key] = fun_new[key] + (u * 2 - 1) * amplitude
         self.J["fun"] = fun_new
         self._site_cache = {}
         # padded-grid / device-table caches (engine.pad_grid,

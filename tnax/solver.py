@@ -96,11 +96,13 @@ class Solver:
             self.J = self.problem.J
         self._gauges = None  # reference resets gauges via _divide_couplings
 
-    def add_noise(self, amplitude=1e-7):
+    def add_noise(self, amplitude=1e-7, rng=None):
         """Small random noise on couplings to lift accidental degeneracies
-        (reference `tnac4o/tnac4o.py:917-941`)."""
+        (reference `tnac4o/tnac4o.py:917-941`). ``rng=None`` draws from
+        the global legacy NumPy RNG exactly like the reference, so
+        ``np.random.seed(s)`` makes the noise reproducible."""
         self.logger.info("Adding noise with amplitude %.2e", amplitude)
-        self.problem.add_noise(amplitude)
+        self.problem.add_noise(amplitude, rng=rng)
         if self.mode == "Ising":
             self.J = self.problem.J
             self._gauges = None

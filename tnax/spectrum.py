@@ -204,6 +204,34 @@ def _flipped_spins(ins, dpos, dstate):
         .astype(np.int64, copy=False)
 
 
+def _elem_batch(ins, dpos_flat, dstate_flat, bounds):
+    """Elementary-connectivity flags for a whole site's losers in ONE
+    native call (semantics of per-loser :func:`exc_elementary`; Ising
+    only). Returns a bool array of len(bounds)-1, or None when the native
+    kernels or the CSR tables are unavailable."""
+    L = _native.lib()
+    csr = getattr(ins, "_xor_csr", None)
+    if L is None or csr is None:
+        return None
+    starts, values, site_base, maxlen = csr
+    n = len(bounds) - 1
+    if n == 0:
+        return np.zeros(0, bool)
+    dpos_flat = np.ascontiguousarray(dpos_flat, np.int64)
+    dstate_flat = np.ascontiguousarray(dstate_flat, np.int64)
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    max_spins = int(np.max(bounds[1:] - bounds[:-1])) * max(maxlen, 1)
+    out = np.empty(n, np.int64)
+    r = L.tnax_elem_batch(starts.ctypes.data, values.ctypes.data,
+                          site_base.ctypes.data, ins.adj_bits.ctypes.data,
+                          ins.adj_bits.shape[1], dpos_flat.ctypes.data,
+                          dstate_flat.ctypes.data, bounds.ctypes.data,
+                          n, max_spins, out.ctypes.data)
+    if r < 0:
+        return None
+    return out.astype(bool)
+
+
 def exc_elementary(ins, dpos, dstate):
     """Is the droplet single-connected? (reference `_exc_elementary`,
     `tnac4o/tnac4o.py:2087-2114`). Ising runs the same BFS on uint64
@@ -529,7 +557,9 @@ def record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng, lim_hd):
     """
     if ee == 3:
         fresh = []
-    for cdE, dpos, dstate, dP, pel in losers:
+    for rec in losers:
+        cdE, dpos, dstate, dP, pel = rec[:5]
+        elem = rec[5] if len(rec) > 5 else None
         if cdE > max_dEng:
             continue
         if ee == 1:
@@ -544,7 +574,8 @@ def record_losers(ins, ee, bel, losers, ny, nx, Nx, max_dEng, lim_hd):
             bel.append(((cdE, di, dfirst, dlast, dP), tuple(sel)))
         elif ee == 2:
             if (lim_hd > 1 and exc_hd(ins, dstate) < lim_hd) or \
-                    not exc_elementary(ins, dpos, dstate):
+                    not (exc_elementary(ins, dpos, dstate)
+                         if elem is None else elem):
                 continue
             di = exc_register(ins, dpos, dstate)
             sel = [exc_prune_energy(sne, max_dEng - (sne[0][0] + cdE))
@@ -924,6 +955,13 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
                     rows_nz, cols_nz = np.nonzero(dx)
                     bounds = np.searchsorted(rows_nz,
                                              np.arange(len(l_idx) + 1))
+                    elem = None
+                    if ee == 2 and ins.mode == "Ising":
+                        # whole site's connectivity checks in one native
+                        # call (identical semantics to the per-loser
+                        # exc_elementary inside record_losers)
+                        elem = _elem_batch(ins, cols_nz,
+                                           dx[rows_nz, cols_nz], bounds)
                     gs2 = np.flatnonzero(np.r_[True, l_grp[1:] != l_grp[:-1]])
                     ge2 = np.r_[gs2[1:], len(l_grp)]
                     slot_of_group = gsl[starts]
@@ -944,7 +982,9 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
                             losers.append((l_cdE[t], dpos,
                                            dx[t, dpos].astype(np.int64),
                                            cprob[ii] - out_prob[kk],
-                                           ins.el[src[ii]]))
+                                           ins.el[src[ii]],
+                                           None if elem is None
+                                           else bool(elem[t])))
                         record_losers(ins, ee, bel, losers, ny, nx, Nx,
                                       max_dEng, lim_hd)
                         new_el[kk] = bel
