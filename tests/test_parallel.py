@@ -332,3 +332,31 @@ def test_fleet_flagship_matches_single():
         assert (np.asarray(r["states"]) == np.asarray(r1["states"])).all()
         assert abs(r["energy"] - r1["energy"]) < 1e-4
         assert r["degeneracy"] == r1["degeneracy"]
+
+
+def test_fleet_flagship_mixed_rotations():
+    """A fleet batch mixing all 4 rotations of one instance (the J124
+    grouped-batch production shape) gives the same energy from every
+    rotation, equal to the host-path ground state."""
+    rng = np.random.default_rng(13)
+    Nx = Ny = 3
+    Nc = 4
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    solvers = []
+    for rot in range(4):
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        if rot:
+            ins.rotate_graph(rot=rot)
+        solvers.append(ins)
+    rs = parallel.multi_flagship_search_gs(solvers, M=128,
+                                           relative_P_cutoff=1e-10,
+                                           Dmax=8)
+    energies = []
+    for ins, r in zip(solvers, rs):
+        ins.states = np.asarray(r["states"])[None, :][:, ins.order]
+        energies.append(float(tnax.energy_Jij(J, ins.binary_states())[0]))
+    ref = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    ref.precondition(mode="balancing")
+    ref.search_ground_state(M=128, relative_P_cutoff=1e-10, Dmax=8)
+    for E in energies:
+        assert abs(E - ref.energy[0]) < 1e-6

@@ -879,6 +879,11 @@ def _replay_records(ins, ctx, rec_handles, ee, *, M, C, P, max_dEng,
 
     for ny in range(Ny):
         t_row = time.time()
+        if ny + 1 < Ny and hasattr(rec_handles[ny + 1],
+                                   "copy_to_host_async"):
+            # overlap the next row's device->host record transfer (a few
+            # MB over the tunneled link) with this row's host replay
+            rec_handles[ny + 1].copy_to_host_async()
         R = np.asarray(rec_handles[ny])     # one pull per row
         for nx in range(Nx):
             r = R[nx]

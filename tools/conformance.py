@@ -336,9 +336,10 @@ if __name__ == "__main__":
                         "(the default; --no-batch-rot for sequential)")
     p.add_argument("--no-batch-rot", dest="batch_rot", action="store_false")
     p.set_defaults(batch_rot=True)
-    p.add_argument("--group", type=int, default=2,
+    p.add_argument("--group", type=int, default=0,
                    help="j124 batched mode: instances per dispatch "
-                        "(batch width = 4*group rotations)")
+                        "(batch width = 4*group rotations; default 2, "
+                        "or 1 at C>=16 — HBM limit, see below)")
     p.add_argument("--fleet", type=int, default=8, metavar="B",
                    help="droplet: search instances in multi_search_gs "
                         "batches of B (production fleet mode, the "
@@ -351,9 +352,13 @@ if __name__ == "__main__":
     args = p.parse_args()
 
     if args.family == "j124" and args.batch_rot and not args.only:
+        # C16's fused fleet program at group=2 (batch 8 x D=48 x M=4096)
+        # needs 16.1G HBM — 0.4G over a v5e chip (measured, r3); one
+        # instance's 4-rotation batch fits comfortably
+        group = args.group or (1 if args.C >= 16 else 2)
         res = run_j124_batched(args.C, args.n, args.D or 48,
                                args.M or 4096, args.pre, start=args.start,
-                               group=args.group)
+                               group=group)
     elif args.only and args.family == "j124":
         res = []
         for k in (int(x) for x in args.only.split(",")):

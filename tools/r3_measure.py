@@ -117,6 +117,18 @@ def stage_j124(group):
                           batch_s=times, ok=oks, n=len(todo))), flush=True)
 
 
+def stage_fleet16():
+    """Droplet L512 conformance in fused fleet batches of 16 (compile +
+    warm scaling vs the batch-8 default)."""
+    import conformance
+    t0 = time.time()
+    res = conformance.run_droplet_batched(512, 64, 32, 1024, True,
+                                          batch=16)
+    n_ok = sum(r["ok"] for r in res)
+    print(json.dumps(dict(stage="fleet16_L512", ok=n_ok, n=len(res),
+                          total_s=round(time.time() - t0, 2))), flush=True)
+
+
 if __name__ == "__main__":
     stages = os.environ.get("R3M_STAGES",
                             "flagship,spectrum,j124_2").split(",")
@@ -124,6 +136,8 @@ if __name__ == "__main__":
         stage_flagship()
     if "spectrum" in stages:
         stage_spectrum()
+    if "fleet16" in stages:
+        stage_fleet16()
     if "j124_2" in stages:
         stage_j124(2)
     if "j124_4" in stages:
