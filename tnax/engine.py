@@ -151,6 +151,20 @@ def _absorb_row(mps, Wrow, conj, Dmax, tolS, tolV, max_sweeps, graduate,
                          max_sweeps=max_sweeps, graduate=graduate)
 
 
+def _lane_pack(W):
+    """Merge the two minor legs of a traced-tensor stack so the stored
+    array tiles the TPU (8, 128) vector layout without padding: a minor
+    dim of lh=16 lane-pads 8x (measured: the fleet ladder's 1.0G
+    `build_rho_both` scan input ballooned to 8.0G of HBM), while
+    lh*lv=256 tiles exactly. Consumers unpack per scan step — an O(step)
+    copy of a few MB instead of an 8x-padded resident buffer."""
+    return W.reshape(W.shape[:-2] + (W.shape[-2] * W.shape[-1],))
+
+
+def _lane_unpack(W, lh, lv):
+    return W.reshape(W.shape[:-1] + (lh, lv))
+
+
 @partial(jax.jit, static_argnames=("Dmax", "tolS", "tolV", "max_sweeps",
                                    "graduate", "method", "rsvd"))
 def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
@@ -172,11 +186,13 @@ def build_rhoT(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
 
     def step(mps, Wrow):
+        Wrow = _lane_unpack(Wrow, lh, lv)
         new, overlap, disc = _absorb_row(mps, Wrow, True, Dmax, tolS, tolV,
                                          max_sweeps, graduate, method, rsvd)
         return new, (new.A, new.lognorm, overlap, disc)
 
-    _, (As, lns, ovs, dss) = lax.scan(step, mps0, Wt, reverse=True)
+    _, (As, lns, ovs, dss) = lax.scan(step, mps0, _lane_pack(Wt),
+                                      reverse=True)
     rhoT = jnp.concatenate([As, mps0.A[None]], axis=0)
     lognorms = jnp.concatenate([lns, jnp.zeros((1,), dtype)])
     return rhoT, lognorms, ovs, dss
@@ -195,11 +211,12 @@ def build_rhoB(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
 
     def step(mps, Wrow):
+        Wrow = _lane_unpack(Wrow, lh, lv)
         new, overlap, disc = _absorb_row(mps, Wrow, False, Dmax, tolS, tolV,
                                          max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
-    _, (As, ovs, dss) = lax.scan(step, mps0, Wt)
+    _, (As, ovs, dss) = lax.scan(step, mps0, _lane_pack(Wt))
     rhoB = jnp.concatenate([mps0.A[None], As], axis=0)
     return rhoB, ovs, dss
 
@@ -226,7 +243,9 @@ def build_rho_both(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     Ny, Nx, lh, lv = Wt.shape[:4]
     dtype = Wt.dtype
     WtB = jnp.flip(jnp.transpose(Wt, (0, 1, 2, 5, 4, 3)), axis=0)
-    Wpair = jnp.stack([Wt, WtB], axis=1)    # (Ny, 2, Nx, lh, lv, lh, lv)
+    # lane-packed stack: (Ny, 2, Nx, lh, lv, lh*lv) tiles without the 8x
+    # minor-dim padding (this temp OOMed the C16 fleet ladder at 8.0G)
+    Wpair = _lane_pack(jnp.stack([Wt, WtB], axis=1))
     mps0 = bmps.trivial_mps(Nx, Dmax, lv, dtype)
     mps0x2 = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), mps0)
 
@@ -234,7 +253,7 @@ def build_rho_both(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
         m, w, True, Dmax, tolS, tolV, max_sweeps, graduate, method, rsvd))
 
     def step(mps2, Wrows):
-        new, _, _ = absorb(mps2, Wrows)
+        new, _, _ = absorb(mps2, _lane_unpack(Wrows, lh, lv))
         return new, new.A
 
     _, As = lax.scan(step, mps0x2, Wpair, reverse=True)
@@ -264,11 +283,12 @@ def build_rhoL(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     mps0 = bmps.trivial_mps(Ny, Dmax, lh, Wt.dtype)
 
     def step(mps, Wcol):
+        Wcol = _lane_unpack(Wcol, lh, lv)
         new, overlap, disc = _absorb_row(mps, Wcol, True, Dmax, tolS, tolV,
                                          max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
-    _, (As, ovs, dss) = lax.scan(step, mps0, Wc)
+    _, (As, ovs, dss) = lax.scan(step, mps0, _lane_pack(Wc))
     rhoL = jnp.concatenate([mps0.A[None], As], axis=0)
     return rhoL, ovs, dss
 
@@ -285,11 +305,12 @@ def build_rhoR(Wt, *, Dmax, tolS, tolV, max_sweeps, graduate,
     mps0 = bmps.trivial_mps(Ny, Dmax, lh, Wt.dtype)
 
     def step(mps, Wcol):
+        Wcol = _lane_unpack(Wcol, lh, lv)
         new, overlap, disc = _absorb_row(mps, Wcol, False, Dmax, tolS, tolV,
                                          max_sweeps, graduate, method, rsvd)
         return new, (new.A, overlap, disc)
 
-    _, (As, ovs, dss) = lax.scan(step, mps0, Wc, reverse=True)
+    _, (As, ovs, dss) = lax.scan(step, mps0, _lane_pack(Wc), reverse=True)
     rhoR = jnp.concatenate([As, mps0.A[None]], axis=0)
     return rhoR, ovs, dss
 
