@@ -193,7 +193,11 @@ def _fleet_metric(n):
 
 
 def _spectrum_metric():
-    """L2048 ee=2 device-record spectrum wall-clock (warm) vs reference."""
+    """L2048 ee=2 device-record spectrum wall-clock (warm) vs reference.
+
+    cand_factor=64 is the smallest COMPLETE cap at this operating point
+    (merge_overflow=0, measured r3; 32 overflows at 4 sites) — the
+    reported number carries the reference's full droplet tree."""
     J = tnax.load_Jij(
         "/root/reference/instances/Chimera_droplet_instances/"
         "chimera2048_spinglass_power/001.txt")
@@ -209,7 +213,7 @@ def _spectrum_metric():
         ins.search_low_energy_spectrum(excitations_encoding=2, M=1024,
                                        relative_P_cutoff=1e-8, Dmax=32,
                                        max_dEng=1.0, path="device",
-                                       auto_grow=False)
+                                       cand_factor=64, auto_grow=False)
         return time.time() - t0
 
     once()

@@ -192,65 +192,84 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
     return results
 
 
-def run_j124_batched(C, n, D, M, precondition, start=1, group=2):
-    """J124 protocol with ``group`` instances x all 4 rotations batched
-    through `parallel.multi_search_gs` in ONE device dispatch (rotations
-    of a square lattice share padded shapes). Semantics identical to
-    run_j124(path='device') without the early-stop: best energy + max
-    degeneracy among the best over the 4 rotations. Preconditioning runs
-    as one vmapped fleet ladder per dispatch."""
+def run_j124_batched(C, n, D, M, precondition, start=1, group=8):
+    """J124 conformance in fused-fleet WAVES (round 3): each wave runs
+    ``group`` instances at ONE rotation through
+    `parallel.multi_flagship_search_gs`; only instances whose (energy,
+    degeneracy) still mismatch the oracle escalate to the next rotation
+    — the same wave-retry protocol as the droplet fleet. Most instances
+    match at rotation 0, so the sweep costs ~1 search/instance instead
+    of the always-4 of the previous grouped mode (measured 34 s/inst ->
+    ~8.5 s/inst at C16). The best energy and the max degeneracy at that
+    energy accumulate across waves (reference e06 protocol,
+    examples/e06_search_gs_degeneracy_J124.py:97-113)."""
     from tnax import parallel
     Nx = Ny = C
     oracle = j124_oracle(C)
-    results = []
-    todo = list(range(start, n + 1))
-    for lo in range(0, len(todo), group):
-        batch = todo[lo:lo + group]
-        # pad the final partial batch so only ONE batch shape compiles
-        padded = batch + [batch[-1]] * (group - len(batch))
-        t0 = time.time()
-        Js, solvers = {}, []
-        for ins_no in padded:
-            f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
-                             "%03d.txt" % ins_no)
-            Js[ins_no] = tnax.Jij_f2p(tnax.load_Jij(f))
-            for rot in range(4):
+    t00 = time.time()
+    Js, best_E, best_deg, ovf, rot_used = {}, {}, {}, {}, {}
+    for k in range(start, n + 1):
+        f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                         "%03d.txt" % k)
+        Js[k] = tnax.Jij_f2p(tnax.load_Jij(f))
+        best_E[k], best_deg[k], ovf[k] = np.inf, 0, 0
+    def matched(k):
+        oE, odeg = oracle[k]
+        return abs(best_E[k] - oE) < 1e-9 and best_deg[k] == odeg
+    pending = sorted(Js)
+    for rot in range(4):
+        if not pending:
+            break
+        for lo in range(0, len(pending), group):
+            batch = pending[lo:lo + group]
+            padded = batch + [batch[-1]] * (group - len(batch))
+            tb = time.time()
+            solvers = []
+            for k in padded:
                 ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8,
-                                  J=Js[ins_no], beta=0.75)
+                                  J=Js[k], beta=0.75)
                 if rot:
                     ins.rotate_graph(rot=rot)
                 solvers.append(ins)
-        if precondition:
-            # fused fleet flagship: one compile/dispatch per batch of
-            # group x 4 rotations
-            rs = parallel.multi_flagship_search_gs(
-                solvers, M=M, relative_P_cutoff=1e-8, Dmax=D)
-        else:
-            ctxs = [ins._context() for ins in solvers]
-            rs = parallel.multi_search_gs(ctxs, M=M,
-                                          relative_P_cutoff=1e-8, Dmax=D)
-        dt = time.time() - t0
-        for gi, ins_no in enumerate(batch):
-            best_E, best_deg, ovf = np.inf, 0, 0
-            for ins, r in zip(solvers[4 * gi:4 * gi + 4],
-                              rs[4 * gi:4 * gi + 4]):
+            if precondition:
+                rs = parallel.multi_flagship_search_gs(
+                    solvers, M=M, relative_P_cutoff=1e-8, Dmax=D)
+            else:
+                ctxs = [ins._context() for ins in solvers]
+                rs = parallel.multi_search_gs(ctxs, M=M,
+                                              relative_P_cutoff=1e-8,
+                                              Dmax=D)
+            print(json.dumps({"batch0": batch[0], "rot": rot,
+                              "batch_s": round(time.time() - tb, 2)}),
+                  flush=True)
+            for k, ins, r in zip(batch, solvers, rs):
                 ins.states = np.asarray(r["states"])[None, :][:, ins.order]
-                E = float(tnax.energy_Jij(Js[ins_no],
-                                          ins.binary_states())[0])
-                deg = r["degeneracy"]
-                ovf += r["merge_overflow"]
-                if E < best_E - 1e-9:
-                    best_E, best_deg = E, deg
-                elif abs(E - best_E) < 1e-9:
-                    best_deg = max(best_deg, deg)
-            oE, odeg = oracle[ins_no]
-            ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
-            results.append(dict(instance=ins_no, energy=best_E,
-                                degeneracy=best_deg, oracle_energy=oE,
-                                oracle_degeneracy=odeg, ok=bool(ok),
-                                merge_overflow=ovf,
-                                seconds=round(dt / len(batch), 2)))
-            print(json.dumps(results[-1]), flush=True)
+                E = float(tnax.energy_Jij(Js[k], ins.binary_states())[0])
+                ovf[k] += r["merge_overflow"]
+                if E < best_E[k] - 1e-9:
+                    best_E[k], best_deg[k] = E, r["degeneracy"]
+                    rot_used[k] = rot
+                elif abs(E - best_E[k]) < 1e-9 \
+                        and r["degeneracy"] > best_deg[k]:
+                    best_deg[k], rot_used[k] = r["degeneracy"], rot
+        pending = [k for k in pending if not matched(k)]
+        print(json.dumps({"rot": rot, "pending_after": len(pending)}),
+              flush=True)
+    results = []
+    for k in sorted(Js):
+        oE, odeg = oracle[k]
+        results.append(dict(instance=k, energy=best_E[k],
+                            degeneracy=best_deg[k], oracle_energy=oE,
+                            oracle_degeneracy=odeg, ok=bool(matched(k)),
+                            merge_overflow=ovf[k],
+                            rot=rot_used.get(k, 0)))
+        print(json.dumps(results[-1]), flush=True)
+    n_ok = sum(r["ok"] for r in results)
+    dt = time.time() - t00
+    print(json.dumps({"fleet_summary": f"{n_ok}/{len(results)}",
+                      "total_s": round(dt, 1),
+                      "inst_per_min": round(60 * len(results) / dt, 1)}),
+          flush=True)
     return results
 
 
@@ -337,9 +356,8 @@ if __name__ == "__main__":
     p.add_argument("--no-batch-rot", dest="batch_rot", action="store_false")
     p.set_defaults(batch_rot=True)
     p.add_argument("--group", type=int, default=0,
-                   help="j124 batched mode: instances per dispatch "
-                        "(batch width = 4*group rotations; default 2, "
-                        "or 1 at C>=16 — HBM limit, see below)")
+                   help="j124 wave mode: instances per dispatch "
+                        "(default 8; rotations escalate wave-by-wave)")
     p.add_argument("--fleet", type=int, default=8, metavar="B",
                    help="droplet: search instances in multi_search_gs "
                         "batches of B (production fleet mode, the "
@@ -352,10 +370,7 @@ if __name__ == "__main__":
     args = p.parse_args()
 
     if args.family == "j124" and args.batch_rot and not args.only:
-        # C16's fused fleet program at group=2 (batch 8 x D=48 x M=4096)
-        # needs 16.1G HBM — 0.4G over a v5e chip (measured, r3); one
-        # instance's 4-rotation batch fits comfortably
-        group = args.group or (1 if args.C >= 16 else 2)
+        group = args.group or 8
         res = run_j124_batched(args.C, args.n, args.D or 48,
                                args.M or 4096, args.pre, start=args.start,
                                group=group)
