@@ -22,9 +22,10 @@ TNAX_BENCH_D (default 32), TNAX_BENCH_M (default 1024),
 TNAX_BENCH_PATH (device|host, default device on accelerators),
 TNAX_BENCH_SELECT (compact|topk candidate selection, default compact),
 TNAX_BENCH_FLEET=N (run an N-instance chimera-512 fleet end-to-end —
-load + vmapped precondition ladder + one-dispatch batched search — and
-report instances/min; the production mode, BASELINE.md north-star "100
-instances x 4 rotations"; default 8 on accelerators, 0 disables),
+the fused fleet flagship: ladder + boundary + search vmapped over the
+batch as ONE program — and report instances/min; the production mode,
+BASELINE.md north-star "100 instances x 4 rotations"; default 8 on
+accelerators, 0 disables),
 TNAX_BENCH_SPECTRUM=1 (also run the L2048 ee=2 device-record spectrum and
 report its wall-clock vs the reference's 677.9 s CPU).
 

@@ -360,3 +360,23 @@ def test_fleet_flagship_mixed_rotations():
     ref.search_ground_state(M=128, relative_P_cutoff=1e-10, Dmax=8)
     for E in energies:
         assert abs(E - ref.energy[0]) < 1e-6
+
+
+def test_select_sort_matches_topk():
+    """select='sort' (full stable descending sort) is bit-identical to
+    the default top_k selection — same candidate set, tie-breaks, and
+    discarded-probability bookkeeping."""
+    rng = np.random.default_rng(17)
+    J = make_chimera_like(rng, 3, 3, 4)
+    outs = {}
+    for sel in ("topk", "sort"):
+        ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=4, beta=2, J=J)
+        ins.precondition(mode="balancing")
+        outs[sel] = parallel.device_search_gs(
+            ins._context(), M=64, relative_P_cutoff=1e-10, Dmax=8,
+            select=sel)
+    a, b = outs["topk"], outs["sort"]
+    assert a["energy"] == b["energy"]
+    assert (np.asarray(a["states"]) == np.asarray(b["states"])).all()
+    assert a["degeneracy"] == b["degeneracy"]
+    assert a["discarded_probability"] == b["discarded_probability"]

@@ -581,8 +581,20 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
                 count = jnp.where(any_trunc, jnp.maximum(count, C + 1),
                                   count)
 
-            k = min(Cl + 1, Ml * Np)
-            vals, idx = lax.top_k(probf, k)
+            if select == "sort":
+                # full descending stable sort instead of top_k: identical
+                # selection + tie-break (lax.sort is stable, so equal
+                # probs come out in index order, matching top_k); at
+                # large caps (e.g. C16's k=32769) TPU top_k degenerates
+                # toward a full sort anyway — this skips its partial-
+                # selection overhead
+                k = Ml * Np
+                neg, idx = lax.sort_key_val(
+                    -probf, jnp.arange(k, dtype=jnp.int32))
+                vals = -neg
+            else:
+                k = min(Cl + 1, Ml * Np)
+                vals, idx = lax.top_k(probf, k)
             # largest candidate discarded by the cutoff (or by the cap) —
             # reference pd_max bookkeeping (tnac4o/tnac4o.py:456-465)
             kk = jnp.minimum(count_local, Cl)
