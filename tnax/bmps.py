@@ -654,8 +654,16 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
             disc, jnp.sqrt(jnp.maximum(frob2 - kept2, 0.0)) / s0)
         S = jnp.where(keep, S, 0.0)
         U = (U * keep[None, :].astype(dtype))[:, :Dmax]
+        SV = (S[:, None] * Vh)[:Dmax]
+        if K < Dmax:
+            # thin rows (e.g. rotated lattices with a 1-dim horizontal
+            # leg): the SVD rank D*lh can be below the target bond —
+            # pad with exact zero channels, the framework's standard
+            # ragged-to-static convention
+            U = jnp.pad(U, ((0, 0), (0, Dmax - K)))
+            SV = jnp.pad(SV, ((0, Dmax - K), (0, 0)))
         Anew = U.reshape(Dmax, du, Dmax)
-        Tn = (S[:, None] * Vh)[:Dmax].reshape(Dmax, D, lh)
+        Tn = SV.reshape(Dmax, D, lh)
         nf = nfactor(Tn)
         Tn = Tn / nf
         lognorm = lognorm + jnp.log2(nf)

@@ -23,14 +23,17 @@ def main():
             line = line.strip()
             if line.startswith("{"):
                 recs.append(json.loads(line))
+        summ = [r for r in recs if "fleet_summary" in r]
+        recs = [r for r in recs if "instance" in r]
         if not recs:
             continue
         ok = sum(r["ok"] for r in recs)
         secs = [r["seconds"] for r in recs if "seconds" in r]
         rate = f"{ok}/{len(recs)}"
         med = sorted(secs)[len(secs) // 2] if secs else None
-        rows.append((name, rate, round(sum(secs), 1) if secs else "",
-                     med))
+        tot = summ[-1]["total_s"] if summ else \
+            (round(sum(secs), 1) if secs else "")
+        rows.append((name, rate, tot, med))
         misses += [(name, r) for r in recs if not r["ok"]]
     print("| sweep | matched | total s | median s/instance |")
     print("|---|---|---|---|")
