@@ -112,7 +112,7 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
 
 
 def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
-                        start=1):
+                        start=1, done=None):
     """Droplet conformance in fleet mode: instances are searched in
     `multi_search_gs` batches (the production throughput path — BASELINE
     north-star '100 instances x 4 rotations'), with the rotation-retry
@@ -129,7 +129,16 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                          f"chimera{L}_spinglass_power", "%03d.txt" % k)
         Js[k] = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
         best[k] = np.inf
-    pending = sorted(Js)
+    results = []
+
+    def emit(k):
+        rec = dict(instance=k, energy=best[k], rot=rot_used.get(k, 0),
+                   oracle=oracle[k],
+                   ok=bool(abs(best[k] - oracle[k]) < 1e-4))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    pending = [k for k in sorted(Js) if not (done and k in done)]
     # force backend/tunnel init so batch timings separate infra from
     # compile (first jnp op pays the full tunnel handshake)
     t_init = time.time()
@@ -172,27 +181,29 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                 E = float(tnax.energy_Jij(Js[k], ins.binary_states())[0])
                 if E < best[k] - 1e-9:
                     best[k], rot_used[k] = E, rot
+        # emit matched instances NOW — a crash or kill loses nothing
+        for k in pending:
+            if abs(best[k] - oracle[k]) < 1e-4:
+                emit(k)
         pending = [k for k in pending
                    if abs(best[k] - oracle[k]) >= 1e-4]
         print(json.dumps({"rot": rot, "pending_after": len(pending)}),
               flush=True)
-    results = []
-    for k in sorted(Js):
-        ok = abs(best[k] - oracle[k]) < 1e-4
-        results.append(dict(instance=k, energy=best[k],
-                            rot=rot_used.get(k, 0), oracle=oracle[k],
-                            ok=bool(ok)))
-        print(json.dumps(results[-1]), flush=True)
-    n_ok = sum(r["ok"] for r in results)
+    for k in pending:            # never matched: emit the best attempt
+        emit(k)
+    n_ok = sum(r["ok"] for r in results) + len(done or {})
+    n_all = len(results) + len(done or {})
     dt = time.time() - t00
-    print(json.dumps({"fleet_summary": f"{n_ok}/{len(results)}",
+    print(json.dumps({"fleet_summary": f"{n_ok}/{n_all}",
                       "total_s": round(dt, 1),
-                      "inst_per_min": round(60 * len(results) / dt, 1)}),
+                      "inst_per_min": round(60 * max(len(results), 1) / dt,
+                                            1)}),
           flush=True)
     return results
 
 
-def run_j124_batched(C, n, D, M, precondition, start=1, group=8):
+def run_j124_batched(C, n, D, M, precondition, start=1, group=8,
+                     done=None):
     """J124 conformance in fused-fleet WAVES (round 3): each wave runs
     ``group`` instances at ONE rotation through
     `parallel.multi_flagship_search_gs`; only instances whose (energy,
@@ -216,7 +227,18 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=8):
     def matched(k):
         oE, odeg = oracle[k]
         return abs(best_E[k] - oE) < 1e-9 and best_deg[k] == odeg
-    pending = sorted(Js)
+    results = []
+
+    def emit(k):
+        oE, odeg = oracle[k]
+        rec = dict(instance=k, energy=best_E[k], degeneracy=best_deg[k],
+                   oracle_energy=oE, oracle_degeneracy=odeg,
+                   ok=bool(matched(k)), merge_overflow=ovf[k],
+                   rot=rot_used.get(k, 0))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    pending = [k for k in sorted(Js) if not (done and k in done)]
     for rot in range(4):
         if not pending:
             break
@@ -252,23 +274,22 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=8):
                 elif abs(E - best_E[k]) < 1e-9 \
                         and r["degeneracy"] > best_deg[k]:
                     best_deg[k], rot_used[k] = r["degeneracy"], rot
+        # emit matched instances NOW — a crash or kill loses nothing
+        for k in pending:
+            if matched(k):
+                emit(k)
         pending = [k for k in pending if not matched(k)]
         print(json.dumps({"rot": rot, "pending_after": len(pending)}),
               flush=True)
-    results = []
-    for k in sorted(Js):
-        oE, odeg = oracle[k]
-        results.append(dict(instance=k, energy=best_E[k],
-                            degeneracy=best_deg[k], oracle_energy=oE,
-                            oracle_degeneracy=odeg, ok=bool(matched(k)),
-                            merge_overflow=ovf[k],
-                            rot=rot_used.get(k, 0)))
-        print(json.dumps(results[-1]), flush=True)
-    n_ok = sum(r["ok"] for r in results)
+    for k in pending:            # never matched: emit the best attempt
+        emit(k)
+    n_ok = sum(r["ok"] for r in results) + len(done or {})
     dt = time.time() - t00
-    print(json.dumps({"fleet_summary": f"{n_ok}/{len(results)}",
+    n_all = len(results) + len(done or {})
+    print(json.dumps({"fleet_summary": f"{n_ok}/{n_all}",
                       "total_s": round(dt, 1),
-                      "inst_per_min": round(60 * len(results) / dt, 1)}),
+                      "inst_per_min": round(60 * max(len(results), 1) / dt,
+                                            1)}),
           flush=True)
     return results
 
@@ -362,6 +383,9 @@ if __name__ == "__main__":
                    help="droplet: search instances in multi_search_gs "
                         "batches of B (production fleet mode, the "
                         "default; 0 = sequential single-instance runs)")
+    p.add_argument("--resume", default=None, metavar="JSONL",
+                   help="skip instances already matched (ok=true) in a "
+                        "previous partial run's output file")
     p.add_argument("--cand-factor", type=int, default=8,
                    help="j124 merge candidate cap factor; 0 = uncapped "
                         "(exact full-candidate-set merge)")
@@ -369,11 +393,22 @@ if __name__ == "__main__":
     p.set_defaults(pre=True)
     args = p.parse_args()
 
+    done = set()
+    if args.resume and os.path.exists(args.resume):
+        with open(args.resume) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    r = json.loads(line)
+                    if r.get("ok") and "instance" in r:
+                        done.add(r["instance"])
+        print(json.dumps({"resumed_ok": len(done)}), flush=True)
+
     if args.family == "j124" and args.batch_rot and not args.only:
         group = args.group or 8
         res = run_j124_batched(args.C, args.n, args.D or 48,
                                args.M or 4096, args.pre, start=args.start,
-                               group=group)
+                               group=group, done=done)
     elif args.only and args.family == "j124":
         res = []
         for k in (int(x) for x in args.only.split(",")):
@@ -389,7 +424,8 @@ if __name__ == "__main__":
     elif args.family == "droplet" and args.fleet:
         res = run_droplet_batched(args.L, args.n, args.D or 32,
                                   args.M or 1024, args.pre,
-                                  batch=args.fleet, start=args.start)
+                                  batch=args.fleet, start=args.start,
+                                  done=done)
     elif args.family == "droplet":
         res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
                           args.path, args.pre, start=args.start,
@@ -398,6 +434,7 @@ if __name__ == "__main__":
         res = run_j124(args.C, args.n, args.D or 48, args.M or 4096,
                        args.pre, path=args.path, start=args.start,
                        cand_factor=args.cand_factor or None)
-    n_ok = sum(r["ok"] for r in res)
-    print(f"# conformance: {n_ok}/{len(res)} matched")
-    sys.exit(0 if n_ok == len(res) else 1)
+    n_ok = sum(r["ok"] for r in res) + len(done)
+    n_all = len(res) + len(done)
+    print(f"# conformance: {n_ok}/{n_all} matched")
+    sys.exit(0 if n_ok == n_all else 1)
