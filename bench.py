@@ -51,6 +51,11 @@ SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),
 REF_SECONDS = {128: 3.56, 512: 51.33, 1152: 184.56, 2048: 318.31}
 REF_ENERGY = {128: -210.93333333, 512: -846.96, 1152: -1881.22666667,
               2048: -3336.77333333}
+# reference Gibbs-sampling wall-clock (reference examples/e02 at the e02
+# operating point D=48/M=128/beta=3/precondition, rot=0) measured on this
+# machine's CPU (2026-08-17, 'Total time' logged by the reference script)
+# — see BASELINE.md sampling note
+REF_SAMPLE_SECONDS = {512: 148.38}
 
 
 def main():
@@ -143,6 +148,8 @@ def main():
         extra["fleet_instances_per_min"] = _fleet_metric(nfleet)
     if os.environ.get("TNAX_BENCH_SPECTRUM"):
         extra.update(_spectrum_metric())
+    if os.environ.get("TNAX_BENCH_SAMPLE"):
+        extra.update(_sample_metric())
     print(f"# backend={backend} path={path} L={L} D={D} M={M} "
           f"cold={cold:.1f}s warm={warm:.1f}s E={E:.8f} ref={REF_ENERGY[L]} "
           f"match={ok}", file=sys.stderr)
@@ -221,6 +228,41 @@ def _spectrum_metric():
     dt = once()
     return {"spectrum_L2048_s": round(dt, 3),
             "spectrum_vs_ref": round(677.9 / dt, 2)}
+
+
+def _sample_metric():
+    """L512 Gibbs sampling wall-clock (warm) at the reference's e02
+    operating point (beta=3, D=48, M=128 samples, precondition on —
+    reference examples/e02_sample_droplet_instances.py:23-27) vs the
+    reference CPU measured on this machine (BASELINE.md sampling note).
+    Consistency contract: every reported energy must match the
+    independent energy_Jij recomputation (reference
+    examples/test_examples.py:54-56)."""
+    import numpy as np
+    J = tnax.load_Jij(
+        "/root/reference/instances/Chimera_droplet_instances/"
+        "chimera512_spinglass_power/001.txt")
+    J = tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75)
+    ins = tnax.Solver(mode="Ising", Nx=8, Ny=8, Nc=8, J=J, beta=3)
+
+    def once(seed):
+        t0 = time.time()
+        ins._gauges = None
+        ins.precondition(mode="balancing")
+        ctx = ins._context()
+        r = parallel.device_sample(ctx, M=128, Dmax=48, seed=seed)
+        return time.time() - t0, r
+
+    once(0)
+    dt, r = once(1)
+    ins.states = np.asarray(r["states"])[:, ins.order]
+    Es = tnax.energy_Jij(J, ins.binary_states())
+    consistent = bool(np.max(np.abs(np.asarray(r["energy"]) - Es)) < 1e-6)
+    out = {"sample_L512_s": round(dt, 3), "sample_consistent": consistent}
+    ref_s = REF_SAMPLE_SECONDS.get(512)
+    if ref_s:
+        out["sample_vs_ref"] = round(ref_s / dt, 2)
+    return out
 
 
 if __name__ == "__main__":

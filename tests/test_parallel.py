@@ -294,6 +294,33 @@ def test_gs_degeneracy_capped_vs_uncapped():
     assert capped["degeneracy"] <= ins.degeneracy
 
 
+def test_gs_count_max_sizes_exact_cap():
+    """``count_max`` (new r3 diagnostic) reports the max per-site
+    post-cutoff candidate count: re-running with ``cand`` = count_max is
+    still exact (overflow 0, identical energy/degeneracy), so it is the
+    smallest safe cap — the knob for both exactness retries (auto_grow)
+    and shrinking the selection/merge widths for speed."""
+    rng = np.random.default_rng(13)
+    Nx, Ny, Nc = 2, 2, 2
+    J = make_chimera_like(rng, Nx, Ny, Nc, field=False)
+    J = [j for j in tnax.round_Jij(J, 1.0) if j[2] != 0]
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=1.5, J=J)
+    ctx = ContractionContext(ins.problem, beta=1.5)
+    full = parallel.device_search_gs(ctx, M=256, relative_P_cutoff=1e-14,
+                                     Dmax=16, cand_factor=None)
+    assert full["merge_overflow"] == 0
+    cmax = full["count_max"]
+    assert 0 < cmax <= 256 * ctx.Np
+
+    tight = parallel.device_search_gs(ctx, M=256, relative_P_cutoff=1e-14,
+                                      Dmax=16,
+                                      cand_factor=-(-cmax // 256))
+    assert tight["merge_overflow"] == 0
+    assert tight["energy"] == pytest.approx(full["energy"], abs=1e-9)
+    assert tight["degeneracy"] == full["degeneracy"]
+    assert tight["count_max"] == cmax
+
+
 def test_flagship_fused_matches_separate_phases():
     """The one-dispatch flagship program (ladder + PEPS + boundary +
     search fused) finds the same ground state as the separate-phase

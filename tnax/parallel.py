@@ -225,9 +225,10 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
 
     Per site: relative cutoff -> merge by ``vind`` over the top-``cand``
     candidate set -> top-M groups, matching the reference's order
-    (`tnac4o/tnac4o.py:481-526`). ``cand`` defaults to ``min(8*M, M*Np)``;
-    when more candidates survive the cutoff than fit, the returned
-    ``ovf`` diagnostic counts the affected sites.
+    (`tnac4o/tnac4o.py:481-526`). ``cand=None`` means the full ``M*Np``
+    expansion (uncapped exact merge — the drivers' cand_factor=None);
+    when more candidates survive the cutoff than fit a finite cap, the
+    returned ``ovf`` diagnostic counts the affected sites.
 
     With ``axis`` set (inside shard_map over the beam axis), each shard
     holds M_local = M/n branches; global cutoff and beam re-formation use
@@ -235,10 +236,15 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
 
     Returns (beam', aux) with aux = dict(mq=min negativeness, pd=largest
     discarded log2-prob, ovf=#sites whose post-cutoff candidate count
-    exceeded ``cand``).
+    exceeded ``cand``, cmax=max per-site post-cutoff candidate count —
+    the smallest exact cap for this instance/beam, so a caller can size
+    ``cand`` for a retry or safely shrink it for speed).
     """
     Np = row["lB"].shape[1]
-    C_total = min(cand if cand is not None else 8 * M, M * Np)
+    # cand=None = the full M*Np expansion (uncapped exact merge) — the
+    # drivers' documented cand_factor=None semantics; the GS drivers pass
+    # an explicit cand_factor*M otherwise (default 8*M)
+    C_total = min(cand if cand is not None else M * Np, M * Np)
     if axis is not None:
         C_local = min(max(1, C_total // beam_shards), (M // beam_shards) * Np)
         C_total = C_local * beam_shards
@@ -398,17 +404,19 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         pd = jnp.maximum(disc_cap, disc_m)
         # a site overflows if ANY shard truncated post-cutoff candidates
         ovf = count_local > C_local
+        cnt = count_local.astype(jnp.int32)
         if axis is not None:
             ovf = lax.pmax(ovf.astype(jnp.int32), axis) > 0
+            cnt = lax.psum(cnt, axis)
         return (RL_new, vind_m, states_m, Engm, probm, degm, validm,
-                aidx_m), (mq, mqc, pd, ovf)
+                aidx_m), (mq, mqc, pd, ovf, cnt)
 
     xs = (jnp.arange(Nx, dtype=jnp.int32), row["lB"], row["drindex"],
           row["AT"], row["Es"], row["Esl"], row["Esu"], row["dmap"],
           row["rmap"], row["nvalid"], row["cols"])
     carry = (beam["RL"], beam["vind"], beam["states"], beam["Eng"],
              beam["prob"], beam["deg"], beam["valid"], beam["aidx"])
-    carry, (mPns, mqcs, pds, ovfs) = lax.scan(site, carry, xs)
+    carry, (mPns, mqcs, pds, ovfs, cnts) = lax.scan(site, carry, xs)
     RL, vind, states, Eng, prob, deg, valid, aidx = carry
     # shift vind for the next row (reference tnac4o/tnac4o.py:540-542)
     vind = jnp.concatenate([jnp.zeros_like(vind[:, :1]), vind[:, :-1]],
@@ -421,7 +429,8 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
         mq = lax.pmin(mq, axis)
         mqc = lax.pmin(mqc, axis)
         pd = lax.pmax(pd, axis)
-    aux = dict(mq=mq, mqc=mqc, pd=pd, ovf=jnp.sum(ovfs.astype(jnp.int32)))
+    aux = dict(mq=mq, mqc=mqc, pd=pd, ovf=jnp.sum(ovfs.astype(jnp.int32)),
+               cmax=jnp.max(cnts))
     return out, aux
 
 
@@ -437,7 +446,8 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
     Esl, Esu, dmap, rmap, nvalid, cols). rhoT (Ny+1, Nx, D, lv, D),
     Wt (Ny, Nx, lh, lv, lh, lv).
 
-    Returns (beam, aux) with aux = dict(mq, pd, ovf) reduced over rows.
+    Returns (beam, aux) with aux = dict(mq, mqc, pd, ovf, cmax) reduced
+    over rows.
     """
     D = rhoT.shape[2]
     dtype = rhoT.dtype
@@ -457,7 +467,8 @@ def full_search_scan(beam0, grid_in, rhoT, Wt, *, M, Nx, bits, min_dEng,
 
     beam, auxs = lax.scan(one_row, beam0, (rhoT[1:], Wt, grid_in))
     aux = dict(mq=jnp.min(auxs["mq"]), mqc=jnp.min(auxs["mqc"]),
-               pd=jnp.max(auxs["pd"]), ovf=jnp.sum(auxs["ovf"]))
+               pd=jnp.max(auxs["pd"]), ovf=jnp.sum(auxs["ovf"]),
+               cmax=jnp.max(auxs["cmax"]))
     return beam, aux
 
 
@@ -747,7 +758,7 @@ def _pack_result(beam, aux):
     single device->host pull instead of six (each pull costs ~50 ms over a
     tunneled accelerator link). Layout: [states(M*L) | Eng-bits(M) |
     prob-bits(M) | deg-limbs(M*DEG_LIMBS) | valid(M) |
-    mq-bits, mqc-bits, pd-bits, ovf (4)]."""
+    mq-bits, mqc-bits, pd-bits, ovf, cmax (5)]."""
     return jnp.concatenate([
         beam["states"].reshape(-1),
         _f32bits(beam["Eng"]),
@@ -758,6 +769,7 @@ def _pack_result(beam, aux):
         _f32bits(jnp.reshape(aux["mqc"], (1,))),
         _f32bits(jnp.reshape(aux["pd"], (1,))),
         jnp.reshape(aux["ovf"], (1,)).astype(jnp.int32),
+        jnp.reshape(aux["cmax"], (1,)).astype(jnp.int32),
     ])
 
 
@@ -771,11 +783,12 @@ def _unpack_result(packed, M, L):
         packed[o + 2 * M:o + (2 + DEG_LIMBS) * M].reshape(M, DEG_LIMBS))
     valid = packed[o + (2 + DEG_LIMBS) * M:
                    o + (3 + DEG_LIMBS) * M].astype(bool)
-    mq = float(packed[-4:-3].view(np.float32)[0])
-    mqc = float(packed[-3:-2].view(np.float32)[0])
-    pd = float(packed[-2:-1].view(np.float32)[0])
-    ovf = int(packed[-1])
-    return states, Eng, prob, deg, valid, mq, mqc, pd, ovf
+    mq = float(packed[-5:-4].view(np.float32)[0])
+    mqc = float(packed[-4:-3].view(np.float32)[0])
+    pd = float(packed[-3:-2].view(np.float32)[0])
+    ovf = int(packed[-2])
+    cmax = int(packed[-1])
+    return states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax
 
 
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
@@ -796,7 +809,9 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     the merge was exact).
 
     Returns dict(energy, states, prob, degeneracy, negative_probability,
-    discarded_probability, merge_overflow).
+    discarded_probability, merge_overflow, count_max) — ``count_max`` is
+    the max per-site post-cutoff candidate count, i.e. the smallest cap
+    that keeps this search exact (see :func:`row_step`).
     """
     if ctx.rhoT is None or ctx.Dmax != Dmax:
         ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
@@ -853,12 +868,13 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         aux_dev = dict(mq=jnp.min(jnp.stack([a["mq"] for a in auxs])),
                        mqc=jnp.min(jnp.stack([a["mqc"] for a in auxs])),
                        pd=jnp.max(jnp.stack([a["pd"] for a in auxs])),
-                       ovf=jnp.sum(jnp.stack([a["ovf"] for a in auxs])))
+                       ovf=jnp.sum(jnp.stack([a["ovf"] for a in auxs])),
+                       cmax=jnp.max(jnp.stack([a["cmax"] for a in auxs])))
 
     if ctx.dtype == jnp.float32:
         # one packed pull (Eng/prob are f32 on device anyway)
-        states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
-            _pack_result(beam, aux_dev), M, Nx * Ny)
+        states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax = \
+            _unpack_result(_pack_result(beam, aux_dev), M, Nx * Ny)
         globalmin = min(0.0, mq)
     else:
         valid = np.asarray(beam["valid"])
@@ -870,6 +886,7 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         mqc = float(aux_dev["mqc"])
         pd = float(aux_dev["pd"])
         ovf = int(aux_dev["ovf"])
+        cmax = int(aux_dev["cmax"])
     Eng = Eng[valid]
     prob = prob[valid]
     deg = deg[valid]
@@ -879,7 +896,8 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                 degeneracy=int(deg[best]),
                 negative_probability=min(globalmin, 0.0),
                 negative_probability_core=min(mqc, 0.0),
-                discarded_probability=pd, merge_overflow=ovf)
+                discarded_probability=pd, merge_overflow=ovf,
+                count_max=cmax)
 
 
 def _flagship_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
@@ -1034,15 +1052,15 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
     packed = np.asarray(packed)                             # ONE pull
     results = []
     for b in range(len(solvers)):
-        states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
-            packed[b], M, Nx * Ny)
+        states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax = \
+            _unpack_result(packed[b], M, Nx * Ny)
         best = int(np.argmin(np.where(valid, Eng, np.inf)))
         results.append(dict(energy=Eng[best], states=states[best],
                             prob=prob[best], degeneracy=int(deg[best]),
                             negative_probability=min(0.0, mq),
                             negative_probability_core=min(0.0, mqc),
                             discarded_probability=pd,
-                            merge_overflow=int(ovf)))
+                            merge_overflow=int(ovf), count_max=cmax))
     return results
 
 
@@ -1087,7 +1105,7 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
         tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
         graduate=graduate_truncation, lh=lh, lv=lv, pre_Dmax=pre_Dmax,
         pre_sweeps=pre_sweeps, pre_graduate=False)
-    states, Eng, prob, deg, valid, mq, mqc, pd, ovf = _unpack_result(
+    states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax = _unpack_result(
         np.asarray(packed), M, Nx * Ny)
     Eng, prob, deg, states = (Eng[valid], prob[valid], deg[valid],
                               states[valid])
@@ -1096,7 +1114,8 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
                 degeneracy=int(deg[best]),
                 negative_probability=min(0.0, mq),
                 negative_probability_core=min(0.0, mqc),
-                discarded_probability=pd, merge_overflow=int(ovf))
+                discarded_probability=pd, merge_overflow=int(ovf),
+                count_max=cmax)
 
 
 def _padded_energy_rows_problem(problem, dtype):
@@ -1312,6 +1331,7 @@ def _assemble_batched_results(beam, auxs, B):
     pd = np.asarray(jnp.max(jnp.stack([a["pd"] for a in auxs]), axis=0),
                     dtype=np.float64)
     ovf = np.asarray(jnp.sum(jnp.stack([a["ovf"] for a in auxs]), axis=0))
+    cmax = np.asarray(jnp.max(jnp.stack([a["cmax"] for a in auxs]), axis=0))
     out = []
     valid = np.asarray(beam["valid"])
     Eng = np.asarray(beam["Eng"], dtype=np.float64)
@@ -1326,7 +1346,8 @@ def _assemble_batched_results(beam, auxs, B):
                         negative_probability=float(globalmin[b]),
                         negative_probability_core=float(gmc[b]),
                         discarded_probability=float(pd[b]),
-                        merge_overflow=int(ovf[b])))
+                        merge_overflow=int(ovf[b]),
+                        count_max=int(cmax[b])))
     return out
 
 
@@ -1394,7 +1415,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
         packed = np.asarray(out)                            # ONE pull
         results = []
         for b in range(B):
-            states, Eng, prob, deg, valid, mq, mqc, pd, ovf = \
+            states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax = \
                 _unpack_result(packed[b], M, Nx * Ny)
             best = int(np.argmin(np.where(valid, Eng, np.inf)))
             results.append(dict(energy=Eng[best], states=states[best],
@@ -1402,7 +1423,7 @@ def multi_search_gs(ctxs, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                                 negative_probability=min(0.0, mq),
                                 negative_probability_core=min(0.0, mqc),
                                 discarded_probability=pd,
-                                merge_overflow=int(ovf)))
+                                merge_overflow=int(ovf), count_max=cmax))
         return results
     beam, aux = out
     return _assemble_batched_results(beam, [aux], B)
@@ -1583,7 +1604,7 @@ def sharded_row_step(mesh, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
                      Esu=P("data"), dmap=P("data"), rmap=P("data"),
                      nvalid=P("data"), cols=P("data"))
     aux_specs = dict(mq=P("data"), mqc=P("data"), pd=P("data"),
-                     ovf=P("data"))
+                     ovf=P("data"), cmax=P("data"))
 
     def one_instance(beam, row):
         return row_step(beam, row, M=M, Nx=Nx, bits=bits,
