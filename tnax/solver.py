@@ -58,6 +58,7 @@ class Solver:
         # f64" (tools/negp_probe.py), not "results are wrong"
         self.negative_probability_core = 0.0
         self.merge_overflow = 0
+        self.count_max = 0
         self.problem = None
         self._gauges = None
 
@@ -214,6 +215,8 @@ class Solver:
             self.discarded_probability = r["discarded_probability"]
             self.negative_probability = r["negative_probability"]
             self.negative_probability_core = r["negative_probability_core"]
+            self.merge_overflow = r["merge_overflow"]
+            self.count_max = r["count_max"]
             return self.energy
         res = _search.search_ground_state(
             ctx, M=M, relative_P_cutoff=relative_P_cutoff, min_dEng=min_dEng,
