@@ -315,7 +315,7 @@ def run_j124(C, n, D, M, precondition, path="host", start=1,
         J = tnax.Jij_f2p(tnax.load_Jij(f))
         best_E, best_deg = np.inf, 0
         t0 = time.time()
-        ovf = 0
+        ovf, cmax = 0, 0
         oE, odeg = oracle[ins_no]
         for rot in range(4):
             # conformance early-stop: once a rotation reproduces the oracle
@@ -341,6 +341,7 @@ def run_j124(C, n, D, M, precondition, path="host", start=1,
                 E = float(tnax.energy_Jij(J, ins.binary_states())[0])
                 deg = r["degeneracy"]
                 ovf += r["merge_overflow"]
+                cmax = max(cmax, r.get("count_max", 0))
             else:
                 ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
                 E, deg = float(ins.energy[0]), ins.degeneracy
@@ -352,7 +353,7 @@ def run_j124(C, n, D, M, precondition, path="host", start=1,
         results.append(dict(instance=ins_no, energy=best_E,
                             degeneracy=best_deg, oracle_energy=oE,
                             oracle_degeneracy=odeg, ok=bool(ok),
-                            merge_overflow=ovf,
+                            merge_overflow=ovf, count_max=cmax,
                             seconds=round(time.time() - t0, 2)))
         print(json.dumps(results[-1]), flush=True)
     return results
