@@ -794,7 +794,7 @@ def _unpack_result(packed, M, L):
 def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
                      Dmax=32, tolS=1e-16, tolV=1e-10, max_sweeps=20,
                      graduate_truncation=True, fused=True, cand_factor=8,
-                     select="topk"):
+                     select="topk", zipup_rsvd=None):
     """Fully device-resident ground-state search (throughput mode).
 
     Single-chip driver around :func:`row_step`: the beam never leaves the
@@ -814,7 +814,8 @@ def device_search_gs(ctx, M=2 ** 10, relative_P_cutoff=1e-6, min_dEng=1e-12,
     that keeps this search exact (see :func:`row_step`).
     """
     if ctx.rhoT is None or ctx.Dmax != Dmax:
-        ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+        ctx.build_boundary(Dmax, tolS, tolV, max_sweeps,
+                           graduate_truncation, rsvd=zipup_rsvd)
     Ny, Nx, Np, lh, lv = ctx.Ny, ctx.Nx, ctx.Np, ctx.lh, ctx.lv
     dtype = ctx.dtype
     D = ctx.Dmax
@@ -904,7 +905,7 @@ def _flagship_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
                    EsR, EslR, EsuR, nvalid, cols, beta, *, M, Nx, bits,
                    min_dEng, log2_cutoff, cand, select, Dmax, tolS, tolV,
                    max_sweeps, graduate, lh, lv, pre_Dmax, pre_sweeps,
-                   pre_graduate):
+                   pre_graduate, rsvd=None):
     """The ENTIRE single-instance flagship pipeline as one traceable
     function: balancing beta ladder (gauges), gauged Boltzmann/PEPS row
     tensors at the target beta, boundary-MPS stack, and the full beam
@@ -938,7 +939,7 @@ def _flagship_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
     )
     rhoT, _, _, _ = engine.build_rhoT(Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
                                       max_sweeps=max_sweeps,
-                                      graduate=graduate)
+                                      graduate=graduate, rsvd=rsvd)
     beam, aux = full_search_scan(beam0, grid_in, rhoT, Wt, M=M, Nx=Nx,
                                  bits=bits, min_dEng=min_dEng,
                                  log2_cutoff=log2_cutoff, cand=cand,
@@ -949,7 +950,7 @@ def _flagship_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall, max_scale,
 _FLAGSHIP_STATICS = ("M", "Nx", "bits", "min_dEng", "log2_cutoff", "cand",
                      "select", "Dmax", "tolS", "tolV", "max_sweeps",
                      "graduate", "lh", "lv", "pre_Dmax", "pre_sweeps",
-                     "pre_graduate")
+                     "pre_graduate", "rsvd")
 
 _flagship_prog = partial(jax.jit, static_argnames=_FLAGSHIP_STATICS)(
     _flagship_body)
@@ -960,7 +961,8 @@ def _fleet_flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
                          max_scale, EsR, EslR, EsuR, nvalid, cols, beta,
                          *, M, Nx, bits, min_dEng, log2_cutoff, cand,
                          select, Dmax, tolS, tolV, max_sweeps, graduate,
-                         lh, lv, pre_Dmax, pre_sweeps, pre_graduate):
+                         lh, lv, pre_Dmax, pre_sweeps, pre_graduate,
+                         rsvd=None):
     """The flagship pipeline vmapped over an instance batch: ONE compile
     and ONE dispatch covers preconditioning ladder + PEPS rows + boundary
     stack + full beam search for B same-shape instances. This is the
@@ -975,7 +977,7 @@ def _fleet_flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
                    select=select, Dmax=Dmax, tolS=tolS, tolV=tolV,
                    max_sweeps=max_sweeps, graduate=graduate, lh=lh, lv=lv,
                    pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
-                   pre_graduate=pre_graduate)
+                   pre_graduate=pre_graduate, rsvd=rsvd)
     return jax.vmap(
         lambda Es_, Esl_, Esu_, dm_, rm_, X0_, nd_, EsR_, EslR_, EsuR_,
         nv_, co_: body(Es_, Esl_, Esu_, dm_, rm_, X0_, betas, nd_,
@@ -988,7 +990,8 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
                              tolV=1e-10, max_sweeps=20,
                              graduate_truncation=True, cand_factor=8,
                              select="topk", pre_steps=2, pre_Dmax=8,
-                             pre_sweeps=20, max_scale=1024):
+                             pre_sweeps=20, max_scale=1024,
+                             zipup_rsvd=None):
     """One-dispatch fleet GS search: the fused flagship pipeline
     (balancing ladder + boundary build + beam search,
     :func:`_flagship_body`) vmapped over a batch of same-shape Solver
@@ -1048,7 +1051,7 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
         log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
         tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
         graduate=graduate_truncation, lh=lh, lv=lv, pre_Dmax=pre_Dmax,
-        pre_sweeps=pre_sweeps, pre_graduate=False)
+        pre_sweeps=pre_sweeps, pre_graduate=False, rsvd=zipup_rsvd)
     packed = np.asarray(packed)                             # ONE pull
     results = []
     for b in range(len(solvers)):
@@ -1068,7 +1071,8 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
                        min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
                        max_sweeps=20, graduate_truncation=True,
                        cand_factor=8, select="topk", pre_steps=2,
-                       pre_Dmax=8, pre_sweeps=20, max_scale=1024):
+                       pre_Dmax=8, pre_sweeps=20, max_scale=1024,
+                       zipup_rsvd=None):
     """One-dispatch flagship GS search: balancing preconditioner ladder +
     boundary build + device beam search fused into a single program
     (:func:`_flagship_prog`). Same semantics as
@@ -1104,7 +1108,7 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
         log2_cutoff=log2_cutoff, cand=cand, select=select, Dmax=Dmax,
         tolS=tolS, tolV=tolV, max_sweeps=max_sweeps,
         graduate=graduate_truncation, lh=lh, lv=lv, pre_Dmax=pre_Dmax,
-        pre_sweeps=pre_sweeps, pre_graduate=False)
+        pre_sweeps=pre_sweeps, pre_graduate=False, rsvd=zipup_rsvd)
     states, Eng, prob, deg, valid, mq, mqc, pd, ovf, cmax = _unpack_result(
         np.asarray(packed), M, Nx * Ny)
     Eng, prob, deg, states = (Eng[valid], prob[valid], deg[valid],

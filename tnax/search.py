@@ -80,11 +80,17 @@ class ContractionContext:
         self.Wt = Wt                # (Ny, Nx, lh, lv, lh, lv)
         self.drindex = drindex_d
 
-    def build_boundary(self, Dmax, tolS, tolV, max_sweeps, graduate):
-        """Boundary-MPS stack rhoT[ny] for ny=0..Ny (trivial at Ny)."""
+    def build_boundary(self, Dmax, tolS, tolV, max_sweeps, graduate,
+                       rsvd=None):
+        """Boundary-MPS stack rhoT[ny] for ny=0..Ny (trivial at Ny).
+
+        ``rsvd`` pins the zip-up randomized-sketch truncation (see
+        `bmps.zipup_apply`); rsvd=False is the cheap exactness-escalation
+        rung — the sketch perturbs f32 boundaries enough to miss
+        hair-trigger instances (L2048 droplet #92, results/r3_probe6*)."""
         rhoT, lognorms, overlaps, discarded = engine.build_rhoT(
             self.Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
-            max_sweeps=max_sweeps, graduate=graduate)
+            max_sweeps=max_sweeps, graduate=graduate, rsvd=rsvd)
         self.rhoT = rhoT            # (Ny+1, Nx, Dmax, lv, Dmax)
         self.Dmax = Dmax
         self.rhoT_overlap = np.asarray(overlaps)
