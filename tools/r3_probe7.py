@@ -34,14 +34,8 @@ def load(L, i):
 
 
 def oracle(L):
-    path = os.path.join(os.path.dirname(DROP % (L, 1)),
-                        "groundstates_otn2d.txt")
-    out = {}
-    for line in open(path):
-        parts = line.split()
-        if len(parts) >= 2:
-            out[int(parts[0])] = float(parts[1])
-    return out
+    from conformance import droplet_oracle
+    return droplet_oracle(L)
 
 
 def exact_E(J, ins, states):
