@@ -103,24 +103,32 @@ def main():
         warm, E = once()
     ok = abs(E - REF_ENERGY[L]) < 1e-4
 
-    # warm per-phase split (separate run with host sync points)
+    # warm per-phase split (separate run with host sync points); the
+    # separate-phase programs differ from the fused flagship, so run
+    # the sequence twice and report the second — the first pays their
+    # compiles
     phases = {}
     if path == "device":
         import numpy as _np
-        t0 = time.time()
-        ins._gauges = None
-        ins.precondition(mode="balancing")
-        t1 = time.time()
-        ctx = ins._context()
-        ctx.build_boundary(D, 1e-16, 1e-10, 20, True)
-        _np.asarray(ctx.rhoT[0, 0, 0, 0])
-        t2 = time.time()
-        parallel.device_search_gs(ctx, M=M, relative_P_cutoff=1e-8,
-                                  Dmax=D, select=select)
-        t3 = time.time()
-        phases = {"pre_s": round(t1 - t0, 3),
-                  "boundary_s": round(t2 - t1, 3),
-                  "search_s": round(t3 - t2, 3)}
+
+        def phase_run():
+            t0 = time.time()
+            ins._gauges = None
+            ins.precondition(mode="balancing")
+            t1 = time.time()
+            ctx = ins._context()
+            ctx.build_boundary(D, 1e-16, 1e-10, 20, True)
+            _np.asarray(ctx.rhoT[0, 0, 0, 0])
+            t2 = time.time()
+            parallel.device_search_gs(ctx, M=M, relative_P_cutoff=1e-8,
+                                      Dmax=D, select=select)
+            t3 = time.time()
+            return t1 - t0, t2 - t1, t3 - t2
+
+        phase_run()
+        pre, bnd, srch = phase_run()
+        phases = {"pre_s": round(pre, 3), "boundary_s": round(bnd, 3),
+                  "search_s": round(srch, 3)}
     # marginal evaluations per second (the north-star throughput metric):
     # every site of the lattice evaluates M x N_block conditional weights
     evals = M * 256 * Nx * Ny / warm
