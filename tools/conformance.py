@@ -117,7 +117,7 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
 
 
 def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
-                        start=1, done=None):
+                        start=1, done=None, cand_factor=8):
     """Droplet conformance in fleet mode: instances are searched in
     `multi_search_gs` batches (the production throughput path — BASELINE
     north-star '100 instances x 4 rotations'), with the rotation-retry
@@ -179,7 +179,7 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                 # whole batch in ONE compiled program / ONE dispatch
                 rs = parallel.multi_flagship_search_gs(
                     solvers, M=M, relative_P_cutoff=1e-8, Dmax=D,
-                    zipup_rsvd=rsvd_w)
+                    zipup_rsvd=rsvd_w, cand_factor=cand_factor)
             else:
                 ctxs = [ins._context() for ins in solvers]
                 rs = parallel.multi_search_gs(ctxs, M=M,
@@ -267,8 +267,13 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=8,
                     ins.rotate_graph(rot=rot)
                 solvers.append(ins)
             if precondition:
+                # select='sort' measured ~5% faster at the C16 k=32769
+                # selection and bit-identical to top_k (stable sort, same
+                # tie-break; tests/test_parallel.py::
+                # test_select_sort_matches_topk, results/r3_probe4.jsonl)
                 rs = parallel.multi_flagship_search_gs(
-                    solvers, M=M, relative_P_cutoff=1e-8, Dmax=D)
+                    solvers, M=M, relative_P_cutoff=1e-8, Dmax=D,
+                    select="sort")
             else:
                 ctxs = [ins._context() for ins in solvers]
                 rs = parallel.multi_search_gs(ctxs, M=M,
@@ -439,7 +444,8 @@ if __name__ == "__main__":
         res = run_droplet_batched(args.L, args.n, args.D or 32,
                                   args.M or 1024, args.pre,
                                   batch=args.fleet, start=args.start,
-                                  done=done)
+                                  done=done,
+                                  cand_factor=args.cand_factor or None)
     elif args.family == "droplet":
         res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
                           args.path, args.pre, start=args.start,
