@@ -26,8 +26,12 @@ the fused fleet flagship: ladder + boundary + search vmapped over the
 batch as ONE program — and report instances/min; the production mode,
 BASELINE.md north-star "100 instances x 4 rotations"; default 8 on
 accelerators, 0 disables),
-TNAX_BENCH_SPECTRUM=1 (also run the L2048 ee=2 device-record spectrum and
-report its wall-clock vs the reference's 677.9 s CPU).
+TNAX_BENCH_SPECTRUM (also run the L2048 ee=2 device-record spectrum and
+report its wall-clock vs the reference's 677.9 s CPU; default on for
+accelerators, 0 disables),
+TNAX_BENCH_SAMPLE (L512 Gibbs sampling at the reference e02 operating
+point vs the locally measured 148.38 s reference CPU; default on for
+accelerators).
 
 The JSON also carries the warm per-phase split (precondition / boundary
 build / search scan, measured with host sync points in a separate run) —
@@ -154,9 +158,11 @@ def main():
         "TNAX_BENCH_FLEET", "0" if backend == "cpu" else "8"))
     if nfleet:
         extra["fleet_instances_per_min"] = _fleet_metric(nfleet)
-    if os.environ.get("TNAX_BENCH_SPECTRUM"):
+    if int(os.environ.get("TNAX_BENCH_SPECTRUM",
+                          "0" if backend == "cpu" else "1")):
         extra.update(_spectrum_metric())
-    if os.environ.get("TNAX_BENCH_SAMPLE"):
+    if int(os.environ.get("TNAX_BENCH_SAMPLE",
+                          "0" if backend == "cpu" else "1")):
         extra.update(_sample_metric())
     print(f"# backend={backend} path={path} L={L} D={D} M={M} "
           f"cold={cold:.1f}s warm={warm:.1f}s E={E:.8f} ref={REF_ENERGY[L]} "
@@ -195,9 +201,12 @@ def _fleet_metric(n):
             Js.append(tnax.round_Jij(tnax.Jij_f2p(J), 1 / 75))
             solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
                                        J=Js[-1], beta=3))
+        # cand_factor=2 is the validated L512 fleet operating point
+        # (100/100 oracle on the full ensemble at 4.5 s/warm batch,
+        # results/droplet_L512_cf2_record.jsonl)
         rs = parallel.multi_flagship_search_gs(solvers, M=1024,
                                                relative_P_cutoff=1e-8,
-                                               Dmax=32)
+                                               Dmax=32, cand_factor=2)
         for J, ins, r in zip(Js, solvers, rs):
             ins.states = r["states"][None, :][:, ins.order]
             tnax.energy_Jij(J, ins.binary_states())
