@@ -321,6 +321,29 @@ def test_gs_count_max_sizes_exact_cap():
     assert tight["count_max"] == cmax
 
 
+def test_cand_none_is_full_expansion():
+    """Regression for the r3 bug where cand_factor=None silently fell
+    back to the 8*M default cap inside row_step: with no relative
+    cutoff every live candidate survives, so per-site counts reach the
+    full M*Np expansion — None must fit them all (overflow 0) while the
+    8*M cap (< M*Np here) must flag overflow."""
+    rng = np.random.default_rng(17)
+    Nx, Ny, Nc = 2, 2, 4                       # Np = 16 > 8
+    J = make_chimera_like(rng, Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=1, J=J)
+    ctx = ContractionContext(ins.problem, beta=1)
+    M = 16                                     # M*Np = 256 > 8*M = 128
+    full = parallel.device_search_gs(ctx, M=M, relative_P_cutoff=0,
+                                     Dmax=8, cand_factor=None)
+    assert full["merge_overflow"] == 0
+    assert full["count_max"] == M * ctx.Np
+    capped = parallel.device_search_gs(ctx, M=M, relative_P_cutoff=0,
+                                       Dmax=8, cand_factor=8)
+    assert capped["merge_overflow"] > 0
+    Emin, _ = brute_force_min(J, Nx * Ny * Nc)
+    assert full["energy"] == pytest.approx(Emin, abs=1e-9)
+
+
 def test_flagship_fused_matches_separate_phases():
     """The one-dispatch flagship program (ladder + PEPS + boundary +
     search fused) finds the same ground state as the separate-phase
