@@ -283,6 +283,7 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
     prob = np.zeros(1)
     deg = np.ones(1, dtype=np.int64)
     pd_max, globalmin, globalmin_core = -np.inf, 0.0, 0.0
+    count_max = 0
     ny_start = 0
     if resume and checkpoint_path:
         ck = np.load(checkpoint_path)
@@ -320,6 +321,10 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
                 pd_max)
             globalmin = min(globalmin, minP)
             globalmin_core = min(globalmin_core, minP_core)
+            # post-cutoff survivor count (the host path merges ALL
+            # survivors, so this is diagnostic symmetry with the device
+            # path's count_max, not an exactness flag)
+            count_max = max(count_max, len(probf))
             states = states[inds]
             states[:, ny * Nx + nx] = indc
             vind = vind[inds]
@@ -368,4 +373,5 @@ def search_ground_state(ctx: ContractionContext, M=2 ** 10,
         energy=Eng, probability=prob, degeneracy=int(deg[0]),
         states=states, discarded_probability=float(pd_max),
         negative_probability=min(globalmin, 0.0),
-        negative_probability_core=min(globalmin_core, 0.0))
+        negative_probability_core=min(globalmin_core, 0.0),
+        count_max=int(count_max))

@@ -229,6 +229,7 @@ class Solver:
         self.discarded_probability = res.discarded_probability
         self.negative_probability = res.negative_probability
         self.negative_probability_core = res.negative_probability_core
+        self.count_max = res.count_max
         return self.energy
 
     def gibbs_sampling(self, M=2 ** 10, graduate_truncation=True, Dmax=32,
