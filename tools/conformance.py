@@ -299,6 +299,27 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=8,
         pending = [k for k in pending if not matched(k)]
         print(json.dumps({"rot": rot, "pending_after": len(pending)}),
               flush=True)
+    # beam-width escalation ladder for wave survivors — the measured
+    # round-3 recipe for the J124 degeneracy undercounts (beam-bound,
+    # not cap-bound: an overflow-free merge still undercounts at the
+    # base M; results/j124_C12_i27_retry.jsonl). M=2x at cap 16x solved
+    # 5/7 C16 stragglers, M=4x the remaining 2 (j124_C16_esc2/esc3).
+    for M_r, cf_r in ((2 * M, 16), (4 * M, 16)):
+        if not pending:
+            break
+        print(json.dumps({"escalate_M": M_r, "pending": len(pending)}),
+              flush=True)
+        for k in list(pending):
+            E, dg, ov, cm = _j124_instance(C, k, D, M_r, precondition,
+                                           "device", cf_r, oracle)
+            ovf[k] += ov
+            if E < best_E[k] - 1e-9:
+                best_E[k], best_deg[k] = E, dg
+            elif abs(E - best_E[k]) < 1e-9 and dg > best_deg[k]:
+                best_deg[k] = dg
+            if matched(k):
+                emit(k)
+                pending.remove(k)
     for k in pending:            # never matched: emit the best attempt
         emit(k)
     n_ok = sum(r["ok"] for r in results) + len(done or {})
@@ -312,6 +333,53 @@ def run_j124_batched(C, n, D, M, precondition, start=1, group=8,
     return results
 
 
+def _j124_instance(C, ins_no, D, M, precondition, path, cand_factor,
+                   oracle, beta=0.75):
+    """One J124 instance through the 4-rotation max-degeneracy protocol
+    (reference examples/e06...py:97-113) with conformance early-stop.
+    Returns (best_E, best_deg, ovf, cmax)."""
+    Nx = Ny = C
+    f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
+                     "%03d.txt" % ins_no)
+    J = tnax.Jij_f2p(tnax.load_Jij(f))
+    best_E, best_deg = np.inf, 0
+    ovf, cmax = 0, 0
+    oE, odeg = oracle[ins_no]
+    for rot in range(4):
+        # conformance early-stop: once a rotation reproduces the oracle
+        # exactly (energy AND degeneracy) the remaining rotations cannot
+        # change the verdict — the reference protocol's max-over-
+        # rotations exists to cure undercounts, not to exceed the oracle
+        if abs(best_E - oE) < 1e-9 and best_deg == odeg:
+            break
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
+                          beta=beta)
+        if rot:
+            ins.rotate_graph(rot=rot)
+        if precondition:
+            ins.precondition(mode="balancing")
+        if path == "device":
+            from tnax import parallel
+            ctx = ins._context()
+            r = parallel.device_search_gs(ctx, M=M,
+                                          relative_P_cutoff=1e-8,
+                                          Dmax=D,
+                                          cand_factor=cand_factor)
+            ins.states = r["states"][None, :][:, ins.order]
+            E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+            deg = r["degeneracy"]
+            ovf += r["merge_overflow"]
+            cmax = max(cmax, r.get("count_max", 0))
+        else:
+            ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
+            E, deg = float(ins.energy[0]), ins.degeneracy
+        if E < best_E - 1e-9:
+            best_E, best_deg = E, deg
+        elif abs(E - best_E) < 1e-9:
+            best_deg = max(best_deg, deg)
+    return best_E, best_deg, ovf, cmax
+
+
 def run_j124(C, n, D, M, precondition, path="host", start=1,
              cand_factor=8):
     """J124 degeneracy protocol: best energy + max degeneracy among the
@@ -321,52 +389,18 @@ def run_j124(C, n, D, M, precondition, path="host", start=1,
     exact in f32, and the device path's full-candidate-set merge with
     multi-limb counters makes degeneracy exact (C16 degeneracies exceed
     int32). ``cand_factor=None`` merges the FULL post-cutoff candidate set
-    (no cap; exact reference semantics at higher sort cost) — use for
+    (no cap; exact reference semantics at higher sort cost — NOTE the
+    truly uncapped program at C16/M=4096 = 1M candidates crashed the TPU
+    worker; prefer bounded 16-32x caps for escalation rungs) — use for
     retries of instances whose first pass overflowed the cap and
     undercounted degeneracy."""
-    Nx = Ny = C
     oracle = j124_oracle(C)
     results = []
     for ins_no in range(start, n + 1):
-        f = os.path.join(INST, "Chimera_J124", f"C={C}_J124",
-                         "%03d.txt" % ins_no)
-        J = tnax.Jij_f2p(tnax.load_Jij(f))
-        best_E, best_deg = np.inf, 0
         t0 = time.time()
-        ovf, cmax = 0, 0
         oE, odeg = oracle[ins_no]
-        for rot in range(4):
-            # conformance early-stop: once a rotation reproduces the oracle
-            # exactly (energy AND degeneracy) the remaining rotations cannot
-            # change the verdict — the reference protocol's max-over-
-            # rotations exists to cure undercounts, not to exceed the oracle
-            if abs(best_E - oE) < 1e-9 and best_deg == odeg:
-                break
-            ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=8, J=J,
-                              beta=0.75)
-            if rot:
-                ins.rotate_graph(rot=rot)
-            if precondition:
-                ins.precondition(mode="balancing")
-            if path == "device":
-                from tnax import parallel
-                ctx = ins._context()
-                r = parallel.device_search_gs(ctx, M=M,
-                                              relative_P_cutoff=1e-8,
-                                              Dmax=D,
-                                              cand_factor=cand_factor)
-                ins.states = r["states"][None, :][:, ins.order]
-                E = float(tnax.energy_Jij(J, ins.binary_states())[0])
-                deg = r["degeneracy"]
-                ovf += r["merge_overflow"]
-                cmax = max(cmax, r.get("count_max", 0))
-            else:
-                ins.search_ground_state(M=M, relative_P_cutoff=1e-8, Dmax=D)
-                E, deg = float(ins.energy[0]), ins.degeneracy
-            if E < best_E - 1e-9:
-                best_E, best_deg = E, deg
-            elif abs(E - best_E) < 1e-9:
-                best_deg = max(best_deg, deg)
+        best_E, best_deg, ovf, cmax = _j124_instance(
+            C, ins_no, D, M, precondition, path, cand_factor, oracle)
         ok = abs(best_E - oE) < 1e-9 and best_deg == odeg
         results.append(dict(instance=ins_no, energy=best_E,
                             degeneracy=best_deg, oracle_energy=oE,
