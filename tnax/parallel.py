@@ -323,7 +323,14 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
             # prob-ordered top-cand candidates (+1 to observe the first
             # casualty of the cap for the pd diagnostic)
             k = min(C_local + 1, Ml * Np)
-            vals, idx = lax.top_k(probf, k)
+            if select == "radix":
+                # bit-identical to top_k (tests/test_selectk.py);
+                # radix-threshold select instead of a partial sort —
+                # round-4 perf candidate (tnax/selectk.py)
+                from . import selectk
+                vals, idx = selectk.top_k_radix(probf, k)
+            else:
+                vals, idx = lax.top_k(probf, k)
             disc_cap = jnp.asarray(NEG, vals.dtype)
             if C_local < Ml * Np:
                 disc_cap = jnp.where(count_local > C_local,
@@ -603,6 +610,10 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
                 neg, idx = lax.sort_key_val(
                     -probf, jnp.arange(k, dtype=jnp.int32))
                 vals = -neg
+            elif select == "radix":
+                from . import selectk
+                k = min(Cl + 1, Ml * Np)
+                vals, idx = selectk.top_k_radix(probf, k)
             else:
                 k = min(Cl + 1, Ml * Np)
                 vals, idx = lax.top_k(probf, k)

@@ -1,0 +1,117 @@
+"""Exact top-k selection via radix threshold refinement.
+
+`lax.top_k` over the search scan's M*Np=262144-candidate expansion costs
+2.39 ms/site on TPU (~200x off memory-bandwidth speed-of-light for the
+1 MB input) and is ~70% of the per-site search cost at the flagship
+operating point (PARITY.md floor analysis). This implements the same
+selection as a radix threshold:
+
+1. pack each candidate into a unique sortable uint32-pair key
+   (monotonic float bits, index tie-break matching top_k's
+   smallest-index-first order among equal values),
+2. find the k-th largest key by MSB-first digit histogram refinement
+   (8-bit digits; each pass is one vectorized compare+reduce over the
+   array — VPU work, no sort),
+3. compact the >=threshold survivors (cumsum + scatter) and sort just
+   those k elements.
+
+The output is defined to be BIT-IDENTICAL to ``lax.top_k(vals, k)``
+(same values in the same order, same index tie-breaks), so it can drop
+into `parallel.row_step` as ``select="radix"`` with zero semantic risk;
+whether it beats XLA's top_k on the chip is a round-4 measurement
+(prototype status — correctness is CI-tested on CPU, perf is not yet
+measured on TPU).
+
+Design notes. float32 keys are made order-monotonic as uint32 by the
+standard sign-fold (negative floats map below positives, NaNs unused
+here — the search scan's probabilities are finite or the NEG sentinel).
+The index occupies a second uint32 as ``~index`` so that among equal
+values a SMALLER index wins, exactly like top_k. Keys are therefore
+unique, so exactly k keys are >= the k-th largest key — no partial-tie
+bookkeeping is needed at the threshold.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _monotone_bits(v):
+    """float32 -> uint32 with the same total order."""
+    u = lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
+    neg = (u >> 31) == 1
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def top_k_radix(vals, k):
+    """Exactly ``lax.top_k(vals, k)`` via radix threshold selection.
+
+    vals: (N,) float32 (or castable). Returns (values (k,), indices (k,)
+    int32), bit-identical to lax.top_k including tie-break order.
+    """
+    n = vals.shape[0]
+    if k >= n:
+        return lax.top_k(vals, k)
+    hi = _monotone_bits(vals)                      # primary key
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    lo = ~idx                                      # tie-break: smaller
+    #                                                index = larger key
+    kk = jnp.uint32(k)
+
+    # MSB-first refinement over the 8 radix-8 digits of (hi, lo): keep a
+    # running prefix; at each digit find the bucket containing the k-th
+    # largest key and descend into it.
+    def digit_of(word, shift):
+        return (word >> shift) & jnp.uint32(0xFF)
+
+    def refine(state, spec):
+        prefix_hi, prefix_lo, mask_hi, mask_lo, remaining = state
+        use_hi, shift = spec
+        word = jnp.where(use_hi, hi, lo)
+        pmatch = ((hi & mask_hi) == prefix_hi) & ((lo & mask_lo) == prefix_lo)
+        d = digit_of(word, shift)
+        # counts per bucket among prefix-matching candidates
+        counts = jnp.sum(
+            jnp.where(pmatch[:, None],
+                      (d[:, None]
+                       == jnp.arange(256, dtype=jnp.uint32)[None, :]), False),
+            axis=0).astype(jnp.uint32)
+        # buckets descend from 255; find the one where the cumulative
+        # count (from the top) reaches `remaining`
+        rev = counts[::-1]
+        csum = jnp.cumsum(rev)                      # top-down cumulative
+        pos = jnp.searchsorted(csum, remaining, side="left")
+        bucket = jnp.uint32(255) - pos.astype(jnp.uint32)
+        above = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)],
+                          jnp.uint32(0))
+        remaining = remaining - above
+        add = bucket << shift
+        prefix_hi = jnp.where(use_hi, prefix_hi | add, prefix_hi)
+        prefix_lo = jnp.where(use_hi, prefix_lo, prefix_lo | add)
+        mask_add = jnp.uint32(0xFF) << shift
+        mask_hi = jnp.where(use_hi, mask_hi | mask_add, mask_hi)
+        mask_lo = jnp.where(use_hi, mask_lo, mask_lo | mask_add)
+        return (prefix_hi, prefix_lo, mask_hi, mask_lo, remaining), None
+
+    shifts = jnp.asarray([24, 16, 8, 0, 24, 16, 8, 0], jnp.uint32)
+    use_his = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], bool)
+    zero = jnp.uint32(0)
+    (phi, plo, _, _, _), _ = lax.scan(
+        refine, (zero, zero, zero, zero, kk), (use_his, shifts))
+    # threshold key = the k-th largest (phi, plo); exactly k keys are >=
+    # it because keys are unique
+    ge = (hi > phi) | ((hi == phi) & (lo >= plo))
+    # compact survivor positions in index order, then sort the k
+    # survivors by descending key — bitwise the same output as top_k
+    pos = jnp.cumsum(ge.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(ge, pos, k)              # k = dropped slot
+    sel_idx = jnp.zeros((k + 1,), jnp.int32).at[scatter_to].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+    sel_hi = hi[sel_idx]
+    order = jnp.argsort(~sel_hi)                    # stable: desc value,
+    #                                     ties already in index order
+    out_idx = sel_idx[order]
+    return vals[out_idx], out_idx
