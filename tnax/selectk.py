@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -61,46 +62,40 @@ def top_k_radix(vals, k):
     #                                                index = larger key
     kk = jnp.uint32(k)
 
-    # MSB-first refinement over the 8 radix-8 digits of (hi, lo): keep a
-    # running prefix; at each digit find the bucket containing the k-th
-    # largest key and descend into it.
-    def digit_of(word, shift):
-        return (word >> shift) & jnp.uint32(0xFF)
+    # MSB-first 1-bit refinement of the k-th largest (hi, lo) key: the
+    # match mask (candidates agreeing with every refined bit so far) is
+    # maintained incrementally, so each step is one bit extraction, one
+    # masked popcount, and a scalar branch — O(bits * N) elementwise work
+    # with no histograms. Only log2(n) low bits of the index word vary,
+    # so index refinement skips the constant high bits.
+    idx_bits = max(1, int(np.ceil(np.log2(n))))
+    shifts = list(range(31, -1, -1)) \
+        + list(range(idx_bits - 1, -1, -1))
+    use_his = [True] * 32 + [False] * idx_bits
 
     def refine(state, spec):
-        prefix_hi, prefix_lo, mask_hi, mask_lo, remaining = state
+        pmatch, remaining, phi, plo = state
         use_hi, shift = spec
         word = jnp.where(use_hi, hi, lo)
-        pmatch = ((hi & mask_hi) == prefix_hi) & ((lo & mask_lo) == prefix_lo)
-        d = digit_of(word, shift)
-        # counts per bucket among prefix-matching candidates
-        counts = jnp.sum(
-            jnp.where(pmatch[:, None],
-                      (d[:, None]
-                       == jnp.arange(256, dtype=jnp.uint32)[None, :]), False),
-            axis=0).astype(jnp.uint32)
-        # buckets descend from 255; find the one where the cumulative
-        # count (from the top) reaches `remaining`
-        rev = counts[::-1]
-        csum = jnp.cumsum(rev)                      # top-down cumulative
-        pos = jnp.searchsorted(csum, remaining, side="left")
-        bucket = jnp.uint32(255) - pos.astype(jnp.uint32)
-        above = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)],
-                          jnp.uint32(0))
-        remaining = remaining - above
-        add = bucket << shift
-        prefix_hi = jnp.where(use_hi, prefix_hi | add, prefix_hi)
-        prefix_lo = jnp.where(use_hi, prefix_lo, prefix_lo | add)
-        mask_add = jnp.uint32(0xFF) << shift
-        mask_hi = jnp.where(use_hi, mask_hi | mask_add, mask_hi)
-        mask_lo = jnp.where(use_hi, mask_lo, mask_lo | mask_add)
-        return (prefix_hi, prefix_lo, mask_hi, mask_lo, remaining), None
+        bit = ((word >> shift) & jnp.uint32(1)) == 1
+        c1 = jnp.sum(pmatch & bit).astype(jnp.uint32)
+        take1 = remaining <= c1
+        pmatch = pmatch & (bit == take1)
+        remaining = jnp.where(take1, remaining, remaining - c1)
+        add = jnp.where(take1, jnp.uint32(1) << shift, jnp.uint32(0))
+        phi = jnp.where(use_hi, phi | add, phi)
+        plo = jnp.where(use_hi, plo, plo | add)
+        return (pmatch, remaining, phi, plo), None
 
-    shifts = jnp.asarray([24, 16, 8, 0, 24, 16, 8, 0], jnp.uint32)
-    use_his = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], bool)
     zero = jnp.uint32(0)
-    (phi, plo, _, _, _), _ = lax.scan(
-        refine, (zero, zero, zero, zero, kk), (use_his, shifts))
+    (_, _, phi, plo), _ = lax.scan(
+        refine,
+        (jnp.ones((n,), bool), kk, zero, zero),
+        (jnp.asarray(use_his), jnp.asarray(shifts, jnp.uint32)))
+    # unrefined high index bits of plo are 0 while the true key has ~idx
+    # high bits set — restore them so the >= comparison is exact
+    if idx_bits < 32:
+        plo = plo | (jnp.uint32(0xFFFFFFFF) << idx_bits)
     # threshold key = the k-th largest (phi, plo); exactly k keys are >=
     # it because keys are unique
     ge = (hi > phi) | ((hi == phi) & (lo >= plo))
