@@ -1,4 +1,4 @@
-"""Selection/cap sweep at the flagship operating points.
+"""Selection/cap sweep at the flagship operating points (on-chip).
 
 The GS merge is exact whenever the per-site post-cutoff candidate count
 fits the cap (merge_overflow counts the sites where it does not), so a
@@ -37,8 +37,8 @@ def load(L, i):
 
 
 def flagship2048(cf, select):
-    ins = tnax.Solver(mode="Ising", Nx=16, Ny=16, Nc=8,
-                      J=load(2048, 1), beta=3)
+    J = load(2048, 1)
+    ins = tnax.Solver(mode="Ising", Nx=16, Ny=16, Nc=8, J=J, beta=3)
     ts = []
     for rep in range(3):
         ins._gauges = None
@@ -48,7 +48,12 @@ def flagship2048(cf, select):
                                         Dmax=32, cand_factor=cf,
                                         select=select)
         ts.append(time.time() - t0)
-    ok = abs(float(r["energy"]) - REF_E[2048]) < 1e-6
+    # exact host-side recompute of the found state's energy (the f32
+    # device-accumulated r["energy"] drifts ~1e-5 at L2048 and must NOT
+    # be the correctness criterion — bench.py's contract, 1e-4 tol)
+    ins.states = np.asarray(r["states"])[None, :][:, ins.order]
+    E = float(tnax.energy_Jij(J, ins.binary_states())[0])
+    ok = abs(E - REF_E[2048]) < 1e-4
     print(json.dumps({"cfg": f"L2048 cf={cf} sel={select}",
                       "times": [round(t, 3) for t in ts],
                       "warm_s": round(min(ts[1:]), 3),
