@@ -1,10 +1,7 @@
 """Exact top-k selection via radix threshold refinement.
 
-`lax.top_k` over the search scan's M*Np=262144-candidate expansion costs
-2.39 ms/site on TPU (~200x off memory-bandwidth speed-of-light for the
-1 MB input) and is ~70% of the per-site search cost at the flagship
-operating point (PARITY.md floor analysis). This implements the same
-selection as a radix threshold:
+Implements the search scan's top-k selection (M*Np=262144 candidates,
+k=8193 at the flagship operating point) as a radix threshold:
 
 1. pack each candidate into a unique sortable uint32-pair key
    (monotonic float bits, index tie-break matching top_k's
@@ -16,11 +13,20 @@ selection as a radix threshold:
    those k elements.
 
 The output is defined to be BIT-IDENTICAL to ``lax.top_k(vals, k)``
-(same values in the same order, same index tie-breaks), so it can drop
-into `parallel.row_step` as ``select="radix"`` with zero semantic risk;
-whether it beats XLA's top_k on the chip is a round-4 measurement
-(prototype status — correctness is CI-tested on CPU, perf is not yet
-measured on TPU).
+(same values in the same order, same index tie-breaks), so it drops
+into `parallel.row_step` as ``select="radix"`` with zero semantic risk.
+
+MEASURED ON CHIP (round 4, tools/ab_select.py,
+results/r4_ab_select.jsonl): radix LOSES — 1.74 ms/site vs top_k's
+0.35 ms/site in a 256-step scan at the flagship shape, and 2.81 s vs
+2.44 s on the full fused L2048 flagship. The same measurement corrects
+the round-3 floor analysis: in-scan ``lax.top_k`` costs ~0.09 s of the
+~0.9 s search scan (the earlier 2.39 ms/site figure was a fori_loop
+timing artifact), so selection is ~10% of the scan, not ~70%, and a
+Pallas selection kernel has no headroom worth its complexity. ``topk``
+stays the default; this module remains as the validated alternative
+(``select='radix'``) and as the reference for the key-packing scheme
+the merge lexsort shares.
 
 Design notes. float32 keys are made order-monotonic as uint32 by the
 standard sign-fold (negative floats map below positives, NaNs unused
