@@ -43,6 +43,10 @@ def main():
     p.add_argument("--cand-factor", type=int, default=8)
     p.add_argument("--legacy", action="store_true")
     p.add_argument("--start", type=int, default=1)
+    p.add_argument("--no-rsvd", action="store_true",
+                   help="zipup_rsvd=False (the deterministic zip-up that "
+                        "fixed the L2048 escalation stragglers) — measures "
+                        "its fleet cost vs the rsvd sketch default")
     args = p.parse_args()
 
     Nx, Ny, Nc = SHAPES[args.L]
@@ -73,7 +77,8 @@ def main():
         else:
             res = parallel.multi_flagship_search_gs(
                 solvers, M=args.M, relative_P_cutoff=1e-8, Dmax=args.D,
-                cand_factor=args.cand_factor)
+                cand_factor=args.cand_factor,
+                zipup_rsvd=False if args.no_rsvd else None)
         n_ok = 0
         for k, r, ins, J in zip(ids, res, solvers, Js):
             ins.states = np.asarray(r["states"])[None, :][:, ins.order]
@@ -85,7 +90,8 @@ def main():
     warm, ok1 = batch(list(range(args.start + B, args.start + 2 * B)))
     print(json.dumps({
         "metric": f"fleet GS search, chimera L={args.L} D={args.D}, "
-                  f"batch={B} ({'legacy' if args.legacy else 'fused'}, "
+                  f"batch={B} ({'legacy' if args.legacy else 'fused'}"
+                  f"{', rsvd off' if args.no_rsvd else ''}, "
                   f"warm fresh-instance batch)",
         "value": round(warm, 3), "unit": "s",
         "instances_per_min": round(60 * B / warm, 2),
