@@ -308,9 +308,13 @@ class Solver:
         while path == "device" and auto_grow and res.merge_overflow \
                 and factor < ctx.Np:
             # the rerun's counts can exceed the capped run's measurement
-            # (different beam content), so grow with 2x margin; cand_factor
-            # = Np is the full M*Np expansion, which cannot overflow
-            factor = min(ctx.Np, 2 * max(-(-res.count_max // M), factor))
+            # (different beam content), so grow with 2x margin, rounded up
+            # to a power of two so grown caps repeat across instances and
+            # hit the jit cache (the cap only ever gets larger — semantics
+            # unchanged); cand_factor = Np is the full M*Np expansion,
+            # which cannot overflow
+            grown = 2 * max(-(-res.count_max // M), factor)
+            factor = min(ctx.Np, 1 << (grown - 1).bit_length())
             self.logger.info(
                 "merge candidate cap exceeded at %d sites; re-running with "
                 "cand_factor=%d for a complete droplet tree",
