@@ -109,9 +109,13 @@ def check_spectrum(ins, J, oracle_E, max_dEng, max_states):
     ins.decode_low_energy_states(max_dEng=max_dEng, max_states=max_states)
     E = np.asarray(ins.energy, dtype=np.float64)
     E_ind = tnax.energy_Jij(J, ins.binary_states())
-    err = float(np.max(np.abs(E - E_ind))) if len(E) else np.inf
+    errs = np.abs(E - E_ind) if len(E) else np.asarray([np.inf])
+    err = float(errs.max())
+    bad = np.flatnonzero(errs > 1e-4)
     return dict(n_states=int(len(E)),
                 decode_err=round(err, 9),
+                n_bad=int(len(bad)),
+                first_bad=int(bad[0]) if len(bad) else None,
                 decode_ok=bool(err < 1e-4),
                 merge_overflow=int(ins.merge_overflow),
                 gs_ok=bool(abs(float(E.min()) - oracle_E) < 1e-4
