@@ -358,7 +358,7 @@ def test_flagship_fused_matches_separate_phases():
                                    relative_P_cutoff=1e-10, Dmax=8)
     ins2 = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
     r2 = parallel.flagship_search_gs(ins2, M=64, relative_P_cutoff=1e-10,
-                                     Dmax=8)
+                                     Dmax=8, pre_steps=2)
     assert abs(r1["energy"] - r2["energy"]) < 1e-3   # packed f32 rounding
     assert (r1["states"] == r2["states"]).all()
     assert r1["degeneracy"] == r2["degeneracy"]

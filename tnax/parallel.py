@@ -1000,7 +1000,7 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
                              min_dEng=1e-12, Dmax=32, tolS=1e-16,
                              tolV=1e-10, max_sweeps=20,
                              graduate_truncation=True, cand_factor=8,
-                             select="topk", pre_steps=2, pre_Dmax=8,
+                             select="topk", pre_steps=1, pre_Dmax=8,
                              pre_sweeps=20, max_scale=1024,
                              zipup_rsvd=None):
     """One-dispatch fleet GS search: the fused flagship pipeline
@@ -1081,7 +1081,7 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
 def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
                        min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
                        max_sweeps=20, graduate_truncation=True,
-                       cand_factor=8, select="topk", pre_steps=2,
+                       cand_factor=8, select="topk", pre_steps=1,
                        pre_Dmax=8, pre_sweeps=20, max_scale=1024,
                        zipup_rsvd=None):
     """One-dispatch flagship GS search: balancing preconditioner ladder +
@@ -1089,6 +1089,13 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
     (:func:`_flagship_prog`). Same semantics as
     ``ins.precondition(mode='balancing'); device_search_gs(...)`` with the
     ladder's device path; f32 compute dtype assumed (packed result).
+
+    ``pre_steps=1`` (a single balancing rung at beta/2) is the measured
+    default for this throughput path: over 20 chimera-2048 instances it
+    is oracle-neutral vs the reference's 2-rung ladder (15/20 vs 14/20
+    rot=0 first-pass, same hair-trigger set) and ~0.5 s faster
+    (results/r4_pre_ladder.jsonl). `Solver.precondition` keeps the
+    reference default (steps=2, `tnac4o/tnac4o.py:342-379`).
 
     Returns the :func:`device_search_gs` result dict.
     """
