@@ -107,6 +107,48 @@ def scan_gather(Eng, vind, states, deg, src, indc, Es_t, Esl_t, Esu_t,
 
 
 @jax.jit
+def scan_rowenv(AT_row, Wt_row, uidx):
+    """One row_right_envs step per scan iteration — the per-row reverse
+    env build costs Nx of these per Nx site steps (1 per site)."""
+    def step(rr, _):
+        AT, Wt, u = AT_row, Wt_row, uidx
+        Wu = jnp.moveaxis(Wt[:, :, :, u], -1, 0)
+        T = jnp.einsum("adb,mbr->madr", AT, rr)
+        new = jnp.einsum("madr,mldr->mal", T, Wu)
+        scale = jnp.max(jnp.abs(new), axis=(1, 2), keepdims=True)
+        return new / jnp.where(scale > 0, scale, 1.0), None
+    rr0 = jnp.zeros((M, D, LH), AT_row.dtype).at[:, 0, 0].set(1.0)
+    rr, _ = lax.scan(step, rr0, None, length=STEPS)
+    return rr
+
+
+@jax.jit
+def scan_rrsel(RRs, aidx):
+    """The per-site RRs[nx][aidx] branch gather ((M, D, lh) from
+    (Nx, M, D, lh))."""
+    def step(carry, nx):
+        sel = RRs[nx][aidx]
+        return carry + sel[0, 0, 0] * 1e-9, None
+    nxs = jnp.tile(jnp.arange(NX, dtype=jnp.int32), STEPS // NX)
+    carry, _ = lax.scan(step, jnp.float32(0.0), nxs)
+    return carry
+
+
+@jax.jit
+def scan_logp(Pn, prob, valid):
+    """The post-marginal expansion: log2 + masking + reshape over M*Np."""
+    def step(carry, _):
+        P = Pn + carry
+        logP = jnp.where(P > 0, jnp.log2(jnp.where(P > 0, P, 1.0)),
+                         -1e30)
+        probf = jnp.where(valid[:, None], prob[:, None] + logP,
+                          -1e30).reshape(M * Np)
+        return probf[0] * 1e-9, None
+    carry, _ = lax.scan(step, jnp.float32(0.0), None, length=STEPS)
+    return carry
+
+
+@jax.jit
 def scan_topk(probf):
     def step(carry, _):
         vals, idx = lax.top_k(probf + carry, C + 1)
@@ -175,7 +217,22 @@ def main():
     probf = jnp.asarray((r.normal(size=M * Np) - 30).astype(f32))
     t_topk = timed("topk", scan_topk, probf)
 
-    total = t_merge + t_marg + t_rl + t_gather + t_topk
+    AT_row = jnp.asarray(r.normal(size=(D, LV, D)).astype(f32) / D)
+    Wt_row = jnp.asarray(r.normal(size=(LH, LV, LH, LV)).astype(f32))
+    uidxM = jnp.asarray(r.integers(0, LV, size=M), jnp.int32)
+    t_rowenv = timed("rowenv", scan_rowenv, AT_row, Wt_row, uidxM)
+
+    RRsF = jnp.asarray(r.normal(size=(NX, M, D, LH)).astype(f32))
+    aidx = jnp.asarray(r.integers(0, M, size=M), jnp.int32)
+    t_rrsel = timed("rrsel", scan_rrsel, RRsF, aidx)
+
+    PnM = jnp.asarray(r.random(size=(M, Np)).astype(f32))
+    probM = jnp.asarray((r.normal(size=M) - 30).astype(f32))
+    validM = jnp.asarray(r.random(M) < 0.97)
+    t_logp = timed("logp", scan_logp, PnM, probM, validM)
+
+    total = t_merge + t_marg + t_rl + t_gather + t_topk \
+        + t_rowenv + t_rrsel + t_logp
     print(json.dumps({"phase": "SUM",
                       "per_site_ms": round(total / STEPS * 1e3, 4),
                       "scan_s": round(total, 4),
