@@ -107,6 +107,28 @@ def scan_gather(Eng, vind, states, deg, src, indc, Es_t, Esl_t, Esu_t,
 
 
 @jax.jit
+def scan_gather_nostates(Eng, vind, deg, src, indc, Es_t, Esl_t, Esu_t,
+                         dmap, rmap):
+    """scan_gather minus the (M, L) states gather+scatter — the diff
+    prices the states carry, i.e. the parent-pointer/backtrack payoff."""
+    rowsC = jnp.arange(C)
+
+    def step(carry, nx):
+        E = Eng + carry
+        E_cand = E[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
+            + Esu_t[indc, vind[src, nx + 1]]
+        vind_c = vind[src]
+        vind_c = vind_c.at[rowsC, nx].set(dmap[indc])
+        vind_c = vind_c.at[rowsC, nx + 1].set(rmap[indc])
+        deg_c = deg[src]
+        out = E_cand[0] * 1e-9 + vind_c[0, 0] * 0.0 + deg_c[0, 0] * 0.0
+        return out.astype(jnp.float32), None
+    nxs = jnp.tile(jnp.arange(NX, dtype=jnp.int32), STEPS // NX)
+    carry, _ = lax.scan(step, jnp.float32(0.0), nxs)
+    return carry
+
+
+@jax.jit
 def scan_rowenv(AT_row, Wt_row, uidx):
     """One row_right_envs step per scan iteration — the per-row reverse
     env build costs Nx of these per Nx site steps (1 per site)."""
@@ -216,6 +238,9 @@ def main():
 
     probf = jnp.asarray((r.normal(size=M * Np) - 30).astype(f32))
     t_topk = timed("topk", scan_topk, probf)
+
+    timed("gather_nostates", scan_gather_nostates, EngM, vindM, degM,
+          src, indc, Es_t, Esl_t, Esu_t, dmap, rmap)
 
     AT_row = jnp.asarray(r.normal(size=(D, LV, D)).astype(f32) / D)
     Wt_row = jnp.asarray(r.normal(size=(LH, LV, LH, LV)).astype(f32))
