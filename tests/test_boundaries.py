@@ -84,3 +84,17 @@ def test_zipup_matches_fat_path():
         return np.asarray(Pn[0])
 
     assert np.allclose(marg(rho_zip), marg(rho_fat), atol=1e-8)
+
+
+def test_rr_absorb_onehot_matches_gather():
+    """The one-hot GEMM form of the right-env absorption equals the
+    per-branch gather form (same contraction, different MXU mapping)."""
+    rng = np.random.default_rng(11)
+    D, lv, lh, M = 5, 3, 4, 17
+    AT = jnp.asarray(rng.normal(size=(D, lv, D)))
+    Wt = jnp.asarray(rng.normal(size=(lh, lv, lh, lv)))
+    u = jnp.asarray(rng.integers(0, lv, size=M), jnp.int32)
+    rr = jnp.asarray(rng.normal(size=(M, D, lh)))
+    a = engine._rr_absorb_gather(AT, Wt, u, rr)
+    b = engine._rr_absorb_onehot(AT, Wt, u, rr)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)

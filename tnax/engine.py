@@ -335,10 +335,7 @@ def row_right_envs(AT_row, Wt_row, uidx):
 
     def step(rr, xs):
         AT, Wt, u = xs           # (D,lv,D), (lh,lv,lh,lv), (M,)
-        Wu = Wt[:, :, :, u]      # (lh, lv, lh, M) gather over u
-        Wu = jnp.moveaxis(Wu, -1, 0)                    # (M, lh, lv, lh)
-        T = jnp.einsum("adb,mbr->madr", AT, rr)         # (M, D, lv, lh)
-        new = jnp.einsum("madr,mldr->mal", T, Wu)       # (M, D, lh)
+        new = _rr_absorb(AT, Wt, u, rr)
         scale = jnp.max(jnp.abs(new), axis=(1, 2), keepdims=True)
         new = new / jnp.where(scale > 0, scale, 1.0)
         return new, new
@@ -349,6 +346,37 @@ def row_right_envs(AT_row, Wt_row, uidx):
                       reverse=True)
     RRs = jnp.concatenate([RRs, rr0[None]], axis=0)     # (Nx, M, D, lh)
     return RRs
+
+
+def _rr_absorb_gather(AT, Wt, u, rr):
+    """One right-env absorption, gather form: select each branch's traced
+    tensor slice then contract per branch (batched small matmuls)."""
+    Wu = Wt[:, :, :, u]          # (lh, lv, lh, M) gather over u
+    Wu = jnp.moveaxis(Wu, -1, 0)                    # (M, lh, lv, lh)
+    T = jnp.einsum("adb,mbr->madr", AT, rr)         # (M, D, lv, lh)
+    return jnp.einsum("madr,mldr->mal", T, Wu)      # (M, D, lh)
+
+
+def _rr_absorb_onehot(AT, Wt, u, rr):
+    """One right-env absorption, one-hot GEMM form.
+
+    new[m,a,l] = sum_{b,r,q} (rr[m,b,r] * 1[u_m=q]) * G[b,r,q,a,l] with
+    G = sum_d AT[a,d,b] Wt[l,d,r,q]. The per-branch gather + batched
+    (D x lv*lh)@(lv*lh x lh) tiny matmuls of the gather form waste the
+    MXU (measured 1.16 ms/site at the flagship shape); inflating the
+    contraction by the one-hot factor q=lv turns the whole step into two
+    large GEMMs ((M, D*lh*lv) @ (D*lh*lv, D*lh)) that tile onto the
+    systolic array. ~16x more FLOPs, ~4x less wall-clock."""
+    M = rr.shape[0]
+    D, lv, _ = AT.shape
+    lh = Wt.shape[0]
+    U = jax.nn.one_hot(u, lv, dtype=rr.dtype)       # (M, q)
+    G = jnp.einsum("adb,ldrq->brqal", AT, Wt)       # (b,r,q,a,l)
+    X = (rr[:, :, :, None] * U[:, None, None, :]).reshape(M, D * lh * lv)
+    return (X @ G.reshape(D * lh * lv, D * lh)).reshape(M, D, lh)
+
+
+_rr_absorb = _rr_absorb_onehot
 
 
 @jax.jit

@@ -107,6 +107,34 @@ def scan_gather(Eng, vind, states, deg, src, indc, Es_t, Esl_t, Esu_t,
 
 
 @jax.jit
+def scan_gather_vindonly(vind, src, indc, dmap, rmap):
+    """Just the (C, W) vind gather + two dynamic-column scatters."""
+    rowsC = jnp.arange(C)
+
+    def step(carry, nx):
+        vind_c = vind[src] + carry
+        vind_c = vind_c.at[rowsC, nx].set(dmap[indc])
+        vind_c = vind_c.at[rowsC, nx + 1].set(rmap[indc])
+        return vind_c[0, 0] * 0, None
+    nxs = jnp.tile(jnp.arange(NX, dtype=jnp.int32), STEPS // NX)
+    carry, _ = lax.scan(step, jnp.int32(0), nxs)
+    return carry
+
+
+@jax.jit
+def scan_gather_Eonly(Eng, vind, src, indc, Es_t, Esl_t, Esu_t):
+    """Just the E_cand table gathers (2D-indexed energy tables)."""
+    def step(carry, nx):
+        E = Eng + carry
+        E_cand = E[src] + Es_t[indc] + Esl_t[indc, vind[src, nx]] \
+            + Esu_t[indc, vind[src, nx + 1]]
+        return E_cand[0] * 1e-9, None
+    nxs = jnp.tile(jnp.arange(NX, dtype=jnp.int32), STEPS // NX)
+    carry, _ = lax.scan(step, jnp.float32(0.0), nxs)
+    return carry
+
+
+@jax.jit
 def scan_gather_nostates(Eng, vind, deg, src, indc, Es_t, Esl_t, Esu_t,
                          dmap, rmap):
     """scan_gather minus the (M, L) states gather+scatter — the diff
@@ -128,20 +156,19 @@ def scan_gather_nostates(Eng, vind, deg, src, indc, Es_t, Esl_t, Esu_t,
     return carry
 
 
-@jax.jit
-def scan_rowenv(AT_row, Wt_row, uidx):
-    """One row_right_envs step per scan iteration — the per-row reverse
-    env build costs Nx of these per Nx site steps (1 per site)."""
-    def step(rr, _):
-        AT, Wt, u = AT_row, Wt_row, uidx
-        Wu = jnp.moveaxis(Wt[:, :, :, u], -1, 0)
-        T = jnp.einsum("adb,mbr->madr", AT, rr)
-        new = jnp.einsum("madr,mldr->mal", T, Wu)
-        scale = jnp.max(jnp.abs(new), axis=(1, 2), keepdims=True)
-        return new / jnp.where(scale > 0, scale, 1.0), None
-    rr0 = jnp.zeros((M, D, LH), AT_row.dtype).at[:, 0, 0].set(1.0)
-    rr, _ = lax.scan(step, rr0, None, length=STEPS)
-    return rr
+def _mk_scan_rowenv(absorb):
+    @jax.jit
+    def scan_rowenv(AT_row, Wt_row, uidx):
+        """One row_right_envs absorption per scan iteration — the
+        per-row reverse env build costs Nx of these per Nx site steps."""
+        def step(rr, _):
+            new = absorb(AT_row, Wt_row, uidx, rr)
+            scale = jnp.max(jnp.abs(new), axis=(1, 2), keepdims=True)
+            return new / jnp.where(scale > 0, scale, 1.0), None
+        rr0 = jnp.zeros((M, D, LH), AT_row.dtype).at[:, 0, 0].set(1.0)
+        rr, _ = lax.scan(step, rr0, None, length=STEPS)
+        return rr
+    return scan_rowenv
 
 
 @jax.jit
@@ -241,11 +268,21 @@ def main():
 
     timed("gather_nostates", scan_gather_nostates, EngM, vindM, degM,
           src, indc, Es_t, Esl_t, Esu_t, dmap, rmap)
+    timed("gather_vindonly", scan_gather_vindonly, vindM, src, indc,
+          dmap, rmap)
+    timed("gather_Eonly", scan_gather_Eonly, EngM, vindM, src, indc,
+          Es_t, Esl_t, Esu_t)
 
+    from tnax import engine
     AT_row = jnp.asarray(r.normal(size=(D, LV, D)).astype(f32) / D)
     Wt_row = jnp.asarray(r.normal(size=(LH, LV, LH, LV)).astype(f32))
     uidxM = jnp.asarray(r.integers(0, LV, size=M), jnp.int32)
-    t_rowenv = timed("rowenv", scan_rowenv, AT_row, Wt_row, uidxM)
+    t_rowenv = timed("rowenv", _mk_scan_rowenv(engine._rr_absorb_gather),
+                     AT_row, Wt_row, uidxM)
+    t_rowenv2 = timed("rowenv_onehot",
+                      _mk_scan_rowenv(engine._rr_absorb_onehot),
+                      AT_row, Wt_row, uidxM)
+    t_rowenv = min(t_rowenv, t_rowenv2)
 
     RRsF = jnp.asarray(r.normal(size=(NX, M, D, LH)).astype(f32))
     aidx = jnp.asarray(r.integers(0, M, size=M), jnp.int32)
