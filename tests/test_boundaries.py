@@ -86,8 +86,8 @@ def test_zipup_matches_fat_path():
     assert np.allclose(marg(rho_zip), marg(rho_fat), atol=1e-8)
 
 
-def test_rr_absorb_onehot_matches_gather():
-    """The one-hot GEMM form of the right-env absorption equals the
+def test_rr_absorb_twogemm_matches_gather():
+    """The all-up-legs GEMM form of the right-env absorption equals the
     per-branch gather form (same contraction, different MXU mapping)."""
     rng = np.random.default_rng(11)
     D, lv, lh, M = 5, 3, 4, 17
@@ -96,5 +96,5 @@ def test_rr_absorb_onehot_matches_gather():
     u = jnp.asarray(rng.integers(0, lv, size=M), jnp.int32)
     rr = jnp.asarray(rng.normal(size=(M, D, lh)))
     a = engine._rr_absorb_gather(AT, Wt, u, rr)
-    b = engine._rr_absorb_onehot(AT, Wt, u, rr)
+    b = engine._rr_absorb_twogemm(AT, Wt, u, rr)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)

@@ -357,26 +357,25 @@ def _rr_absorb_gather(AT, Wt, u, rr):
     return jnp.einsum("madr,mldr->mal", T, Wu)      # (M, D, lh)
 
 
-def _rr_absorb_onehot(AT, Wt, u, rr):
-    """One right-env absorption, one-hot GEMM form.
+def _rr_absorb_twogemm(AT, Wt, u, rr):
+    """One right-env absorption, all-up-legs GEMM form.
 
-    new[m,a,l] = sum_{b,r,q} (rr[m,b,r] * 1[u_m=q]) * G[b,r,q,a,l] with
-    G = sum_d AT[a,d,b] Wt[l,d,r,q]. The per-branch gather + batched
-    (D x lv*lh)@(lv*lh x lh) tiny matmuls of the gather form waste the
-    MXU (measured 1.16 ms/site at the flagship shape); inflating the
-    contraction by the one-hot factor q=lv turns the whole step into two
-    large GEMMs ((M, D*lh*lv) @ (D*lh*lv, D*lh)) that tile onto the
-    systolic array. ~16x more FLOPs, ~4x less wall-clock."""
-    M = rr.shape[0]
-    D, lv, _ = AT.shape
-    lh = Wt.shape[0]
-    U = jax.nn.one_hot(u, lv, dtype=rr.dtype)       # (M, q)
-    G = jnp.einsum("adb,ldrq->brqal", AT, Wt)       # (b,r,q,a,l)
-    X = (rr[:, :, :, None] * U[:, None, None, :]).reshape(M, D * lh * lv)
-    return (X @ G.reshape(D * lh * lv, D * lh)).reshape(M, D, lh)
+    The gather form's per-branch traced-tensor slice + batched
+    (D x lv*lh)@(lv*lh x lh) tiny matmuls tile terribly onto the MXU
+    (measured 1.14 ms/site at the flagship shape). Instead contract
+    rr with AT over the bond as ONE GEMM, contract the result with the
+    FULL traced tensor over (d, r) for every up-leg value q as a second
+    GEMM, then select q = u_m per branch — lv/Nx-fold FLOP inflation on
+    the second GEMM, but large MXU-friendly shapes: 0.85 ms/site
+    measured, numerically tighter than the gather form's two-step
+    accumulation (results/r4_rowenv_probe.jsonl)."""
+    T = jnp.einsum("mbr,adb->mrad", rr, AT)          # (M, lh, D, lv)
+    new_all = jnp.einsum("mrad,ldrq->malq", T, Wt)   # (M, D, lh, q)
+    return jnp.take_along_axis(
+        new_all, u[:, None, None, None], axis=3)[..., 0]
 
 
-_rr_absorb = _rr_absorb_onehot
+_rr_absorb = _rr_absorb_twogemm
 
 
 @jax.jit

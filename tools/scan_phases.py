@@ -279,8 +279,8 @@ def main():
     uidxM = jnp.asarray(r.integers(0, LV, size=M), jnp.int32)
     t_rowenv = timed("rowenv", _mk_scan_rowenv(engine._rr_absorb_gather),
                      AT_row, Wt_row, uidxM)
-    t_rowenv2 = timed("rowenv_onehot",
-                      _mk_scan_rowenv(engine._rr_absorb_onehot),
+    t_rowenv2 = timed("rowenv_twogemm",
+                      _mk_scan_rowenv(engine._rr_absorb_twogemm),
                       AT_row, Wt_row, uidxM)
     t_rowenv = min(t_rowenv, t_rowenv2)
 
