@@ -146,7 +146,8 @@ def pack_keys(vind, bits):
     return keys
 
 
-def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
+def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None,
+                     key1=None):
     """Merge C expanded candidates by ``vind`` and keep the top-M groups.
 
     Device analogue of `tnax.search.merge_by_vind` in the reference's order
@@ -157,6 +158,12 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
     averaged. Invalid candidates sort into a trailing group and never join
     a slot.
 
+    ``key1`` (C,) i32, if given, is an injective single-key encoding of
+    (vind row, validity) — candidates are equal-groupable iff their keys
+    are equal (see :func:`row_step`'s parent-group construction). One
+    stable sort pass then replaces the multi-key lexsort, and the
+    group-boundary test is one int compare instead of a row compare.
+
     Returns (slot, rep, prob_out, Eng_out, out_valid, disc, deg_out):
       slot (C,) i32   output slot [0, M) each candidate merged into, -1 if
                       its group was dropped or the candidate is invalid,
@@ -166,11 +173,17 @@ def merge_candidates(vind, Eng, prob, valid, min_dEng, bits, M, deg=None):
       deg_out (M, DEG_LIMBS) summed degeneracy limbs (None if ``deg`` is).
     """
     C = Eng.shape[0]
-    vcol = jnp.where(valid, 0, 1).astype(vind.dtype)[:, None]
-    keys = pack_keys(jnp.concatenate([vind, vcol], axis=1), bits)
-    perm = jnp.lexsort(tuple(reversed(keys)))
-    vs, Es, ps, vls = vind[perm], Eng[perm], prob[perm], valid[perm]
-    neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
+    if key1 is not None:
+        perm = jnp.argsort(key1, stable=True)
+        Es, ps, vls = Eng[perm], prob[perm], valid[perm]
+        ks = key1[perm]
+        neq = ks[1:] != ks[:-1]
+    else:
+        vcol = jnp.where(valid, 0, 1).astype(vind.dtype)[:, None]
+        keys = pack_keys(jnp.concatenate([vind, vcol], axis=1), bits)
+        perm = jnp.lexsort(tuple(reversed(keys)))
+        vs, Es, ps, vls = vind[perm], Eng[perm], prob[perm], valid[perm]
+        neq = jnp.any(vs[1:] != vs[:-1], axis=1) | (vls[1:] != vls[:-1])
     seg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(neq).astype(jnp.int32)])
     big = jnp.asarray(jnp.finfo(Es.dtype).max, Es.dtype)
@@ -369,9 +382,31 @@ def row_step(beam, row, *, M, Nx, bits, min_dEng, log2_cutoff, cand=None,
 
         rows_ = jnp.arange(M)
         if axis is None:
+            # single-key merge grouping: candidates share a vind row iff
+            # (parent group outside the two replaced columns, dmap, rmap)
+            # coincide — parents are already vind-unique, so their group
+            # ids over the masked columns cost one lexsort of M rows
+            # (8x smaller than the candidate set), and the candidate
+            # sort collapses to ONE stable int32 pass
+            key1 = None
+            kb = (Ml - 1).bit_length() + 2 * bits + 1
+            if kb <= 31:
+                vind_p = vind.at[:, nx].set(0).at[:, nx + 1].set(0)
+                keys_p = pack_keys(vind_p, bits)
+                perm_p = jnp.lexsort(tuple(reversed(keys_p)))
+                vp = vind_p[perm_p]
+                neq_p = jnp.any(vp[1:] != vp[:-1], axis=1)
+                seg_p = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(neq_p).astype(jnp.int32)])
+                gid = jnp.zeros((Ml,), jnp.int32).at[perm_p].set(seg_p)
+                key1 = ((gid[src] << (2 * bits + 1))
+                        | (dmap[indc].astype(jnp.int32) << (bits + 1))
+                        | (rmap[indc].astype(jnp.int32) << 1)
+                        | (1 - cvalid.astype(jnp.int32)))
             slot, rep, prob_out, Eng_out, out_valid, disc_m, deg_out = \
                 merge_candidates(vind_c, E_cand, vals_c, cvalid, min_dEng,
-                                 bits, M, deg=deg[src])
+                                 bits, M, deg=deg[src], key1=key1)
             bsrc = src[rep]
             vind_m = vind_c[rep]
             states_m = states[bsrc].at[rows_, col].set(indc[rep])
