@@ -40,7 +40,11 @@ def oracle():
 def main():
     n = int(os.environ.get("TNAX_STUDY_N", "20"))
     orc = oracle()
-    for ms, pms in ((20, 20), (2, 20), (1, 20), (0, 20), (0, 0)):
+    import ast
+    cfgs = ast.literal_eval(os.environ.get(
+        "TNAX_POLISH_CFGS",
+        "((20, 20), (2, 20), (1, 20), (0, 20), (0, 0))"))
+    for ms, pms in cfgs:
         times, hits = [], 0
         for k in range(1, n + 1):
             f = os.path.join(INST, "Chimera_droplet_instances",
