@@ -1044,7 +1044,7 @@ def _fleet_flagship_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
 
 def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
                              min_dEng=1e-12, Dmax=32, tolS=1e-16,
-                             tolV=1e-10, max_sweeps=20,
+                             tolV=1e-10, max_sweeps=2,
                              graduate_truncation=True, cand_factor=8,
                              select="topk", pre_steps=1, pre_Dmax=8,
                              pre_sweeps=20, max_scale=1024,
@@ -1126,7 +1126,7 @@ def multi_flagship_search_gs(solvers, M=2 ** 10, relative_P_cutoff=1e-6,
 
 def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
                        min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
-                       max_sweeps=20, graduate_truncation=True,
+                       max_sweeps=2, graduate_truncation=True,
                        cand_factor=8, select="topk", pre_steps=1,
                        pre_Dmax=8, pre_sweeps=20, max_scale=1024,
                        zipup_rsvd=None):
@@ -1140,8 +1140,14 @@ def flagship_search_gs(ins, M=2 ** 10, relative_P_cutoff=1e-6,
     default for this throughput path: over 20 chimera-2048 instances it
     is oracle-neutral vs the reference's 2-rung ladder (15/20 vs 14/20
     rot=0 first-pass, same hair-trigger set) and ~0.5 s faster
-    (results/r4_pre_ladder.jsonl). `Solver.precondition` keeps the
-    reference default (steps=2, `tnac4o/tnac4o.py:342-379`).
+    (results/r4_pre_ladder.jsonl). ``max_sweeps=2`` (boundary-build
+    polish sweeps) is likewise measured: over the same 20 instances the
+    rot=0 miss set is IDENTICAL to max_sweeps=20 at 1.93 vs 2.03 s
+    median warm (results/r4_polish_study.jsonl; max_sweeps=1 drops to
+    13/20 and pre_sweeps=1 shifts the miss set, so both stay).
+    `Solver.precondition` keeps the reference default (steps=2,
+    `tnac4o/tnac4o.py:342-379`) and the host/Solver boundary builds keep
+    max_sweeps=20.
 
     Returns the :func:`device_search_gs` result dict.
     """
