@@ -283,10 +283,8 @@ def _sample_metric():
 
     def once(seed):
         t0 = time.time()
-        ins._gauges = None
-        ins.precondition(mode="balancing")
-        ctx = ins._context()
-        r = parallel.device_sample(ctx, M=128, Dmax=48, seed=seed)
+        r = parallel.flagship_sample(ins, M=128, Dmax=48, seed=seed,
+                                     pre_steps=2)
         return time.time() - t0, r
 
     once(0)

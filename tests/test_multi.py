@@ -86,3 +86,43 @@ def test_multi_sample_energies_consistent():
         assert np.max(np.abs(r["energy"] - E2)) < 1e-9
     # instances differ and walker streams differ across instances
     assert not (rs[0]["states"] == rs[1]["states"]).all()
+
+def test_flagship_sample_matches_separate_phases():
+    """The one-dispatch sampling program (ladder + PEPS + boundary +
+    sampling scan fused, `parallel.flagship_sample`) draws bit-identical
+    states to the separate-phase pipeline (precondition + device_sample)
+    under the same seed, and its energies satisfy the e02 consistency
+    contract (reference `examples/test_examples.py:54-56`)."""
+    Nx, Ny, Nc = 3, 3, 4
+    J = make_chimera_like(np.random.default_rng(5), Nx, Ny, Nc)
+    ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    ins.precondition(mode="balancing")
+    r1 = parallel.device_sample(ins._context(), M=32, Dmax=8, seed=7)
+    ins2 = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+    r2 = parallel.flagship_sample(ins2, M=32, Dmax=8, seed=7, pre_steps=2)
+    assert (np.asarray(r1["states"]) == np.asarray(r2["states"])).all()
+    assert np.max(np.abs(r1["energy"] - r2["energy"])) < 1e-9
+    ins2.states = np.asarray(r2["states"])[:, ins2.order]
+    E2 = tnax.energy_Jij(J, ins2.binary_states())
+    assert np.max(np.abs(r2["energy"] - E2)) < 1e-9
+
+
+def test_multi_flagship_sample_matches_multi_sample():
+    """multi_flagship_sample (the vmapped one-dispatch fleet sampler) is
+    bit-identical to multi_sample over preconditioned contexts (same
+    fold_in PRNG streams, same gauges at pre_steps=2)."""
+    Nx, Ny, Nc = 2, 2, 4
+    solvers, ctxs = [], []
+    for s in range(3):
+        J = make_chimera_like(np.random.default_rng(20 + s), Nx, Ny, Nc)
+        ins = tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc, beta=2, J=J)
+        ins.precondition(mode="balancing")
+        ctxs.append(ins._context())
+        solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
+                                   beta=2, J=J))
+    rs1 = parallel.multi_sample(ctxs, M=16, Dmax=8, seed=11)
+    rs2 = parallel.multi_flagship_sample(solvers, M=16, Dmax=8, seed=11,
+                                         pre_steps=2)
+    for r1, r2 in zip(rs1, rs2):
+        assert (np.asarray(r1["states"]) == np.asarray(r2["states"])).all()
+        assert np.max(np.abs(r1["energy"] - r2["energy"])) < 1e-9

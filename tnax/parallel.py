@@ -1393,6 +1393,178 @@ def multi_sample(ctxs, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
             for b in range(B)]
 
 
+def _flagship_sample_body(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+                          max_scale, nvalid, cols, beta, key, *, M, Nx,
+                          Dmax, tolS, tolV, max_sweeps, graduate, lh, lv,
+                          pre_Dmax, pre_sweeps, pre_graduate, rsvd=None):
+    """The ENTIRE Gibbs-sampling pipeline as one traceable function
+    (sampling analogue of :func:`_flagship_body`): balancing beta ladder,
+    gauged PEPS row tensors, boundary-MPS stack, and the full M-walker
+    sampling scan — one dispatch, one states pull. Matches the reference's
+    ``precondition(); gibbs_sampling()`` sequence
+    (`tnac4o/tnac4o.py:342-379,553-650`) with all phases fused."""
+    from . import precondition as pre
+    dtype = Es.dtype
+    X, _ = pre._ladder_program(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+                               max_scale, Dmax=pre_Dmax, tolS=tolS,
+                               tolV=tolV, max_sweeps=pre_sweeps,
+                               graduate=pre_graduate, lh=lh, lv=lv)
+    lB, Wt = engine.peps_rows(Es, Esl, Esu, dmap, rmap, X["Xl"], X["Xr"],
+                              X["Xu"], X["Xd"], beta, lh=lh, lv=lv)
+    Ny = Wt.shape[0]
+    drindex = (dmap * lh + rmap).astype(jnp.int32)
+    grid_in = dict(lB=lB, drindex=drindex, dmap=dmap, rmap=rmap,
+                   nvalid=nvalid, cols=cols)
+    rhoT, _, _, _ = engine.build_rhoT(Wt, Dmax=Dmax, tolS=tolS, tolV=tolV,
+                                      max_sweeps=max_sweeps,
+                                      graduate=graduate, rsvd=rsvd)
+    beam0 = dict(RL=jnp.zeros((M, Dmax), dtype).at[:, 0].set(1.0),
+                 vind=jnp.zeros((M, Nx + 1), jnp.int32),
+                 states=jnp.zeros((M, Nx * Ny), jnp.int32))
+    beam, mq = full_sample_scan(beam0, grid_in, rhoT, Wt, key, M=M, Nx=Nx)
+    return beam["states"], mq
+
+
+_SAMPLE_STATICS = ("M", "Nx", "Dmax", "tolS", "tolV", "max_sweeps",
+                   "graduate", "lh", "lv", "pre_Dmax", "pre_sweeps",
+                   "pre_graduate", "rsvd")
+
+_flagship_sample_prog = partial(jax.jit, static_argnames=_SAMPLE_STATICS)(
+    _flagship_sample_body)
+
+
+@partial(jax.jit, static_argnames=_SAMPLE_STATICS)
+def _fleet_flagship_sample_prog(Es, Esl, Esu, dmap, rmap, X0, betas, ndall,
+                                max_scale, nvalid, cols, beta, keys, *, M,
+                                Nx, Dmax, tolS, tolV, max_sweeps, graduate,
+                                lh, lv, pre_Dmax, pre_sweeps, pre_graduate,
+                                rsvd=None):
+    """The fused sampling pipeline vmapped over an instance batch: ONE
+    compile and ONE dispatch covers ladder + boundary + sampling scan for
+    B same-shape instances (fleet analogue of
+    :func:`_fleet_flagship_prog`)."""
+    body = partial(_flagship_sample_body, M=M, Nx=Nx, Dmax=Dmax, tolS=tolS,
+                   tolV=tolV, max_sweeps=max_sweeps, graduate=graduate,
+                   lh=lh, lv=lv, pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
+                   pre_graduate=pre_graduate, rsvd=rsvd)
+    return jax.vmap(
+        lambda Es_, Esl_, Esu_, dm_, rm_, X0_, nd_, nv_, co_, k_:
+        body(Es_, Esl_, Esu_, dm_, rm_, X0_, betas, nd_, max_scale,
+             nv_, co_, beta, k_)
+    )(Es, Esl, Esu, dmap, rmap, X0, ndall, nvalid, cols, keys)
+
+
+def _flagship_sample_inputs(ins, dtype, pre_steps, max_scale):
+    """Shared host-side input prep for the fused sampling drivers (same
+    layout as :func:`flagship_search_gs`)."""
+    from . import engine as eng
+    g = eng.pad_grid(ins.problem)
+    betas = jnp.asarray([ins.beta * 2.0 ** (nn - pre_steps)
+                         for nn in range(pre_steps)], dtype)
+    ms = 2.0 ** np.floor(np.log2(np.sqrt(max_scale)))
+    X0 = {k: jnp.asarray(v, dtype)
+          for k, v in eng.identity_gauges(g).items()}
+    ndall = jnp.asarray(ins.problem.ld[: g.Ny - 1], jnp.int32)
+    nvalid = jnp.asarray(g.nstates, jnp.int32)
+    cols = (jnp.arange(g.Ny, dtype=jnp.int32)[:, None] * g.Nx
+            + jnp.arange(g.Nx, dtype=jnp.int32)[None, :])
+    return g, betas, ms, X0, ndall, nvalid, cols
+
+
+def flagship_sample(ins, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
+                    max_sweeps=20, graduate_truncation=True, seed=0,
+                    pre_steps=1, pre_Dmax=8, pre_sweeps=20,
+                    max_scale=1024, zipup_rsvd=None):
+    """One-dispatch Gibbs sampling: balancing preconditioner ladder +
+    boundary build + M-walker sampling scan fused into a single program
+    (:func:`_flagship_sample_prog`). Same semantics as
+    ``ins.precondition(mode='balancing'); device_sample(...)`` with the
+    ladder's device path; the energies are exact f64 host replays of the
+    sampled states, so the e02 consistency contract (reference
+    `examples/test_examples.py:54-56`) holds by construction.
+
+    Returns the :func:`device_sample` result dict.
+    """
+    from .config import compute_dtype
+    dtype = compute_dtype()
+    g, betas, ms, X0, ndall, nvalid, cols = _flagship_sample_inputs(
+        ins, dtype, pre_steps, max_scale)
+    states, mq = _flagship_sample_prog(
+        jnp.asarray(g.Es, dtype), jnp.asarray(g.Esl, dtype),
+        jnp.asarray(g.Esu, dtype), jnp.asarray(g.dmap),
+        jnp.asarray(g.rmap), X0, betas, ndall, jnp.asarray(ms, dtype),
+        nvalid, cols, jnp.asarray(ins.beta, dtype),
+        jax.random.PRNGKey(seed),
+        M=M, Nx=g.Nx, Dmax=Dmax, tolS=tolS, tolV=tolV,
+        max_sweeps=max_sweeps, graduate=graduate_truncation, lh=g.lh,
+        lv=g.lv, pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
+        pre_graduate=False, rsvd=zipup_rsvd)
+    states = np.asarray(states)                             # ONE pull
+    ctx = ins._context()
+    return dict(states=states, energy=exact_energies(ctx, states),
+                negative_probability=min(0.0, float(mq)))
+
+
+def multi_flagship_sample(solvers, M=2 ** 10, Dmax=32, tolS=1e-15,
+                          tolV=1e-10, max_sweeps=20,
+                          graduate_truncation=True, seed=0, pre_steps=1,
+                          pre_Dmax=8, pre_sweeps=20, max_scale=1024,
+                          zipup_rsvd=None):
+    """One-dispatch fleet Gibbs sampling: the fused sampling pipeline
+    vmapped over a batch of same-shape Solver instances (fleet analogue
+    of :func:`multi_flagship_search_gs`; the reference's production
+    pattern `examples/e02_sample_droplet_instances.py:23-27`). Each
+    instance samples under its own PRNG stream (fold_in of ``seed`` by
+    instance index, matching :func:`multi_sample`).
+
+    Returns a list of :func:`device_sample`-style result dicts.
+    """
+    from . import engine as eng
+    from .config import compute_dtype
+    assert solvers, "need at least one solver"
+    dtype = compute_dtype()
+    grids = [eng.pad_grid(ins.problem) for ins in solvers]
+    g0 = grids[0]
+    for g in grids:
+        assert (g.Ny, g.Nx, g.Np, g.lh, g.lv) == \
+            (g0.Ny, g0.Nx, g0.Np, g0.lh, g0.lv), \
+            "fleet sampling needs same-shape instances"
+    beta0 = solvers[0].beta
+    for ins in solvers:
+        assert ins.beta == beta0, "fleet sampling shares one beta"
+    B = len(solvers)
+    _, betas, ms, _, _, _, cols0 = _flagship_sample_inputs(
+        solvers[0], dtype, pre_steps, max_scale)
+    Es = jnp.stack([jnp.asarray(g.Es, dtype) for g in grids])
+    Esl = jnp.stack([jnp.asarray(g.Esl, dtype) for g in grids])
+    Esu = jnp.stack([jnp.asarray(g.Esu, dtype) for g in grids])
+    dmap = jnp.stack([jnp.asarray(g.dmap) for g in grids])
+    rmap = jnp.stack([jnp.asarray(g.rmap) for g in grids])
+    X0 = {}
+    for k, v in eng.identity_gauges(g0).items():
+        X0[k] = jnp.broadcast_to(jnp.asarray(v, dtype)[None],
+                                 (B,) + v.shape)
+    ndall = jnp.stack([jnp.asarray(ins.problem.ld[: g0.Ny - 1], jnp.int32)
+                       for ins in solvers])
+    nvalid = jnp.stack([jnp.asarray(g.nstates, jnp.int32) for g in grids])
+    cols = jnp.broadcast_to(cols0[None], (B,) + cols0.shape)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 i))(jnp.arange(B))
+    states, mqs = _fleet_flagship_sample_prog(
+        Es, Esl, Esu, dmap, rmap, X0, betas, ndall, jnp.asarray(ms, dtype),
+        nvalid, cols, jnp.asarray(beta0, dtype), keys,
+        M=M, Nx=g0.Nx, Dmax=Dmax, tolS=tolS, tolV=tolV,
+        max_sweeps=max_sweeps, graduate=graduate_truncation, lh=g0.lh,
+        lv=g0.lv, pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
+        pre_graduate=False, rsvd=zipup_rsvd)
+    states = np.asarray(states)                             # one pull
+    mqs = np.asarray(mqs, dtype=np.float64)
+    return [dict(states=states[b],
+                 energy=exact_energies(solvers[b]._context(), states[b]),
+                 negative_probability=min(0.0, float(mqs[b])))
+            for b in range(B)]
+
+
 def _assemble_batched_results(beam, auxs, B):
     """Reduce per-row aux diagnostics and pick each instance's best branch
     — shared result assembly of multi_search_gs / sharded_search_gs."""
