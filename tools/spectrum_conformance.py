@@ -203,10 +203,9 @@ def run_sample(L, n, start, batch, D, M, done, seed0=0):
         padded = group + [group[-1]] * (batch - len(group))
         solvers = [make_solver(L, k, ee=1) for k in padded]
         tb = time.time()
-        fleet_gauges(solvers)
-        ctxs = [s._context() for s in solvers]
-        results = parallel.multi_sample(ctxs, M=M, Dmax=D,
-                                        seed=seed0 + group[0])
+        results = parallel.multi_flagship_sample(solvers, M=M, Dmax=D,
+                                                 seed=seed0 + group[0],
+                                                 pre_steps=2)
         batch_s = time.time() - tb
         print(json.dumps({"batch0": group[0], "batch_s": round(batch_s, 2)}),
               flush=True)
