@@ -1223,18 +1223,26 @@ def exact_energies(ctx, states):
     """Exact float64 energies of block-state configurations, replayed on the
     host from the raw energy tables (states in the current rotation's snake
     order, shape (M, Ny*Nx))."""
+    return exact_energies_problem(ctx.problem, states)
+
+
+def exact_energies_problem(problem, states):
+    """:func:`exact_energies` from the problem alone (host tables only —
+    no ContractionContext, so no device tensor build)."""
+    from . import engine as eng
+    g = eng.pad_grid(problem)
     states = np.asarray(states)
-    Ny, Nx = ctx.Ny, ctx.Nx
+    Ny, Nx = g.Ny, g.Nx
     Eng = np.zeros(states.shape[0])
     for ny in range(Ny):
         for nx in range(Nx):
             s = states[:, ny * Nx + nx]
-            Es, Esl, Esu = ctx.energy_tables(ny, nx)
-            lidx = ctx.rmap[ny, nx - 1][states[:, ny * Nx + nx - 1]] \
+            t = problem.site(ny, nx)
+            lidx = g.rmap[ny, nx - 1][states[:, ny * Nx + nx - 1]] \
                 if nx > 0 else np.zeros(len(s), np.int32)
-            uidx = ctx.dmap[ny - 1, nx][states[:, (ny - 1) * Nx + nx]] \
+            uidx = g.dmap[ny - 1, nx][states[:, (ny - 1) * Nx + nx]] \
                 if ny > 0 else np.zeros(len(s), np.int32)
-            Eng += Es[s] + Esl[s, lidx] + Esu[s, uidx]
+            Eng += t.Es[s] + t.Esl[s, lidx] + t.Esu[s, uidx]
     return Eng
 
 
@@ -1500,8 +1508,8 @@ def flagship_sample(ins, M=2 ** 10, Dmax=32, tolS=1e-15, tolV=1e-10,
         lv=g.lv, pre_Dmax=pre_Dmax, pre_sweeps=pre_sweeps,
         pre_graduate=False, rsvd=zipup_rsvd)
     states = np.asarray(states)                             # ONE pull
-    ctx = ins._context()
-    return dict(states=states, energy=exact_energies(ctx, states),
+    return dict(states=states,
+                energy=exact_energies_problem(ins.problem, states),
                 negative_probability=min(0.0, float(mq)))
 
 
@@ -1560,7 +1568,8 @@ def multi_flagship_sample(solvers, M=2 ** 10, Dmax=32, tolS=1e-15,
     states = np.asarray(states)                             # one pull
     mqs = np.asarray(mqs, dtype=np.float64)
     return [dict(states=states[b],
-                 energy=exact_energies(solvers[b]._context(), states[b]),
+                 energy=exact_energies_problem(solvers[b].problem,
+                                               states[b]),
                  negative_probability=min(0.0, float(mqs[b])))
             for b in range(B)]
 
