@@ -129,3 +129,22 @@ def test_sharded_spectrum_matches_unsharded():
     srt1 = ins1.binary_states()[np.lexsort(ins1.binary_states().T)]
     srt2 = ins2.binary_states()[np.lexsort(ins2.binary_states().T)]
     assert np.array_equal(srt1, srt2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fleet_sample_matches_unsharded():
+    """multi_flagship_sample over a 'data' mesh (pure DP over instances)
+    draws bit-identical states to the unsharded fleet program."""
+    Nx, Ny, Nc = 2, 2, 4
+    solvers = []
+    for s in range(8):
+        J = make_chimera_like(np.random.default_rng(40 + s), Nx, Ny, Nc)
+        solvers.append(tnax.Solver(mode="Ising", Nx=Nx, Ny=Ny, Nc=Nc,
+                                   beta=2, J=J))
+    mesh = parallel.make_mesh(4, 2)
+    rs1 = parallel.multi_flagship_sample(solvers, M=16, Dmax=8, seed=5)
+    rs2 = parallel.multi_flagship_sample(solvers, M=16, Dmax=8, seed=5,
+                                         mesh=mesh)
+    for r1, r2 in zip(rs1, rs2):
+        assert (np.asarray(r1["states"]) == np.asarray(r2["states"])).all()
+        assert np.max(np.abs(r1["energy"] - r2["energy"])) < 1e-12

@@ -1517,13 +1517,16 @@ def multi_flagship_sample(solvers, M=2 ** 10, Dmax=32, tolS=1e-15,
                           tolV=1e-10, max_sweeps=20,
                           graduate_truncation=True, seed=0, pre_steps=1,
                           pre_Dmax=8, pre_sweeps=20, max_scale=1024,
-                          zipup_rsvd=None):
+                          zipup_rsvd=None, mesh=None):
     """One-dispatch fleet Gibbs sampling: the fused sampling pipeline
     vmapped over a batch of same-shape Solver instances (fleet analogue
     of :func:`multi_flagship_search_gs`; the reference's production
     pattern `examples/e02_sample_droplet_instances.py:23-27`). Each
     instance samples under its own PRNG stream (fold_in of ``seed`` by
-    instance index, matching :func:`multi_sample`).
+    instance index, matching :func:`multi_sample`). With ``mesh`` (axis
+    'data'), instances shard across devices — pure data parallelism, no
+    collectives (SURVEY.md section 5.8); len(solvers) must tile the data
+    axis.
 
     Returns a list of :func:`device_sample`-style result dicts.
     """
@@ -1558,6 +1561,15 @@ def multi_flagship_sample(solvers, M=2 ** 10, Dmax=32, tolS=1e-15,
     cols = jnp.broadcast_to(cols0[None], (B,) + cols0.shape)
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed),
                                                  i))(jnp.arange(B))
+    if mesh is not None:
+        if B % mesh.shape["data"]:
+            raise ValueError(f"{B} instances do not tile the data axis "
+                             f"({mesh.shape['data']} shards)")
+        shard = NamedSharding(mesh, P("data"))
+        Es, Esl, Esu, dmap, rmap, ndall, nvalid, cols, keys = (
+            jax.device_put(x, shard)
+            for x in (Es, Esl, Esu, dmap, rmap, ndall, nvalid, cols, keys))
+        X0 = {k: jax.device_put(v, shard) for k, v in X0.items()}
     states, mqs = _fleet_flagship_sample_prog(
         Es, Esl, Esu, dmap, rmap, X0, betas, ndall, jnp.asarray(ms, dtype),
         nvalid, cols, jnp.asarray(beta0, dtype), keys,
