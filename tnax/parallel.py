@@ -596,8 +596,20 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
         (nx, lB, drindex, AT, Es_t, Esl_t, Esu_t, dmap, rmap, nvalid) = xs
 
         RRsel = RRs[nx][aidx]
+        lidx = vind[:, nx]
+        uidx = vind[:, nx + 1]
+        # dense per-branch energy-increment table (one-hot GEMMs + ONE
+        # flat gather post-selection) — same rewrite as row_step, where it
+        # measured 0.55 -> 0.15 ms/site (results/r4_rowenv_probe.jsonl);
+        # at the complete-tree caps (C = 64*M) the four computed-index
+        # scalar gathers it replaces are 8x wider than the GS path's
+        Einc = ((Eng[:, None] + Es_t[None, :])
+                + jnp.matmul(jax.nn.one_hot(lidx, Esl_t.shape[1],
+                                            dtype=Es_t.dtype), Esl_t.T)) \
+            + jnp.matmul(jax.nn.one_hot(uidx, Esu_t.shape[1],
+                                        dtype=Es_t.dtype), Esu_t.T)
         Pn, mPn = engine.marginal_step(lB, drindex, AT, RL, RRsel,
-                                       vind[:, nx], vind[:, nx + 1], nvalid)
+                                       lidx, uidx, nvalid)
         logP = jnp.where(Pn > 0, jnp.log2(jnp.where(Pn > 0, Pn, 1.0)), NEG)
         probf2d = jnp.where(valid[:, None], prob[:, None] + logP, NEG)
         probf = probf2d.reshape(Ml * Np)
@@ -680,8 +692,7 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
             # (reference keep = max(count, 1), tnac4o/tnac4o.py:460)
             cvalid = cvalid | ((vals_c == pmax) & (vals_c > NEG / 2))
 
-        E_cand = Eng[src_l] + Es_t[indc] + Esl_t[indc, vind[src_l, nx]] \
-            + Esu_t[indc, vind[src_l, nx + 1]]
+        E_cand = Einc.reshape(Ml * Np)[idx_c]
         vind_cand = vind[src_l]
         rows_ = jnp.arange(Cl)
         vind_cand = vind_cand.at[rows_, nx].set(dmap[indc])

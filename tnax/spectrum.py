@@ -445,6 +445,7 @@ def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
     Eng = [0.0]
     pending = [list(excs)]
     flip = [[]]
+    ising = ins.mode == "Ising"
     progressed = True
     while progressed:
         progressed = False
@@ -455,8 +456,24 @@ def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
                 if Eng[kk] + exc[0][0] <= max_dEng:
                     Eng.append(Eng[kk] + exc[0][0])
                     flip.append(flip[kk] + [exc[0][1]])
-                    rest = [x for x in pending[kk]
-                            if not exc_overlap(ins, x[0][1], exc[0][1])]
+                    if ising:
+                        # inlined exc_overlap (the same hoist as the
+                        # replay's parent-tree walk): the new droplet's
+                        # neighborhood mask once, then one int-AND per
+                        # pending entry — this filter dominates
+                        # large-tree decodes
+                        nm = _shape_masks(ins, exc[0][1])[1]
+                        masks = ins._shape_masks
+                        rest = []
+                        for x in pending[kk]:
+                            m2 = masks.get(x[0][1])
+                            if m2 is None:
+                                m2 = _shape_masks(ins, x[0][1])
+                            if not (nm & m2[0]):
+                                rest.append(x)
+                    else:
+                        rest = [x for x in pending[kk]
+                                if not exc_overlap(ins, x[0][1], exc[0][1])]
                     pending.append(rest)
                     if not one_layer:
                         rest.extend(list(exc[1]))
