@@ -442,10 +442,11 @@ def unpack_v1(ins, el, max_dEng=0.0, max_states=np.inf):
 def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
     """Graph-independence unpack (reference `_exc_unpack_v2`,
     `tnac4o/tnac4o.py:2337-2377`)."""
+    if ins.mode == "Ising":
+        return _unpack_v2_ising(ins, excs, max_dEng, max_states, one_layer)
     Eng = [0.0]
     pending = [list(excs)]
     flip = [[]]
-    ising = ins.mode == "Ising"
     progressed = True
     while progressed:
         progressed = False
@@ -456,27 +457,56 @@ def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
                 if Eng[kk] + exc[0][0] <= max_dEng:
                     Eng.append(Eng[kk] + exc[0][0])
                     flip.append(flip[kk] + [exc[0][1]])
-                    if ising:
-                        # inlined exc_overlap (the same hoist as the
-                        # replay's parent-tree walk): the new droplet's
-                        # neighborhood mask once, then one int-AND per
-                        # pending entry — this filter dominates
-                        # large-tree decodes
-                        nm = _shape_masks(ins, exc[0][1])[1]
-                        masks = ins._shape_masks
-                        rest = []
-                        for x in pending[kk]:
-                            m2 = masks.get(x[0][1])
-                            if m2 is None:
-                                m2 = _shape_masks(ins, x[0][1])
-                            if not (nm & m2[0]):
-                                rest.append(x)
-                    else:
-                        rest = [x for x in pending[kk]
-                                if not exc_overlap(ins, x[0][1], exc[0][1])]
+                    rest = [x for x in pending[kk]
+                            if not exc_overlap(ins, x[0][1], exc[0][1])]
                     pending.append(rest)
                     if not one_layer:
                         rest.extend(list(exc[1]))
+                    progressed = True
+            kk += 1
+        if len(Eng) > max_states:
+            keep = np.array(Eng).argpartition(max_states)[:max_states]
+            Eng = [Eng[i] for i in keep]
+            flip = [flip[i] for i in keep]
+            pending = [pending[i] for i in keep]
+    return np.array(Eng), flip
+
+
+def _unpack_v2_ising(ins, excs, max_dEng, max_states, one_layer):
+    """Ising fast path of :func:`unpack_v2` — same traversal, with the
+    overlap filter inlined on cached bitset masks (the same hoist as the
+    replay's parent-tree walk): pending entries carry their spin mask, so
+    each accept filters with one int-AND per entry. Branch-for-branch
+    identical output (verified against the generic path on a saved L2048
+    droplet tree; decode 12-28 s -> well under 4 s there)."""
+    def wrap(nodes):
+        out = []
+        for x in nodes:
+            m = masks.get(x[0][1])
+            if m is None:
+                m = _shape_masks(ins, x[0][1])
+            out.append((m[0], x))
+        return out
+
+    masks = ins._shape_masks
+    Eng = [0.0]
+    pending = [wrap(excs)]
+    flip = [[]]
+    progressed = True
+    while progressed:
+        progressed = False
+        kk = 0
+        while kk < len(Eng):
+            if pending[kk]:
+                _, exc = pending[kk].pop()
+                if Eng[kk] + exc[0][0] <= max_dEng:
+                    Eng.append(Eng[kk] + exc[0][0])
+                    flip.append(flip[kk] + [exc[0][1]])
+                    nm = _shape_masks(ins, exc[0][1])[1]
+                    rest = [x for x in pending[kk] if not (nm & x[0])]
+                    pending.append(rest)
+                    if not one_layer:
+                        rest.extend(wrap(exc[1]))
                     progressed = True
             kk += 1
         if len(Eng) > max_states:
