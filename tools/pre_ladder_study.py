@@ -44,8 +44,10 @@ def oracle(L=2048):
 
 def main():
     n = int(os.environ.get("TNAX_STUDY_N", "20"))
+    ps_list = tuple(int(x) for x in
+                    os.environ.get("TNAX_STUDY_PS", "2,1").split(","))
     orc = oracle()
-    for ps in (2, 1):
+    for ps in ps_list:
         times, hits = [], 0
         for k in range(1, n + 1):
             f = os.path.join(INST, "Chimera_droplet_instances",
