@@ -706,9 +706,32 @@ def _records_row_core(beam, row_tabs, RRs, AT_row, *, M, C, Nx, bits,
                 map(gather, (vals_c, indc, src, E_cand, vind_cand, cvalid,
                              RL_c, aidx_c))
 
+        key1 = None
+        if axis is None:
+            # single-key merge grouping via parent group ids — identical
+            # construction (and identical grouping/representative choice;
+            # both sorts are stable over equal keys) to row_step's, but at
+            # the records path's complete-tree caps the candidate set is
+            # up to 8x wider, so collapsing the 3-pass row lexsort to ONE
+            # int32 sort pass matters more here
+            kb = (Ml - 1).bit_length() + 2 * bits + 1
+            if kb <= 31:
+                vind_p = vind.at[:, nx].set(0).at[:, nx + 1].set(0)
+                keys_p = pack_keys(vind_p, bits)
+                perm_p = jnp.lexsort(tuple(reversed(keys_p)))
+                vp = vind_p[perm_p]
+                neq_p = jnp.any(vp[1:] != vp[:-1], axis=1)
+                seg_p = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(neq_p).astype(jnp.int32)])
+                gid = jnp.zeros((Ml,), jnp.int32).at[perm_p].set(seg_p)
+                key1 = ((gid[src_l] << (2 * bits + 1))
+                        | (dmap[indc].astype(jnp.int32) << (bits + 1))
+                        | (rmap[indc].astype(jnp.int32) << 1)
+                        | (1 - cvalid.astype(jnp.int32)))
         slot, rep, prob_out, Eng_out, out_valid, disc_m, _ = \
             merge_candidates(vind_cand, E_cand, vals_c, cvalid, min_dEng,
-                             bits, M)
+                             bits, M, key1=key1)
 
         vind_new = vind_cand[rep]
         RL_new = engine.rl_update(RL_c[rep], AT, vind_new[:, nx])
