@@ -1,0 +1,74 @@
+"""The spectrum conformance contract: `ok` REQUIRES `gs_ok` (round-4
+verdict: 3/20 L2048 spectra shipped anchored 0.3-0.5 above the true
+ground state yet counted ok), and a gs_ok miss must walk the escalation
+ladder (rotations -> exact-SVD zip-up -> D=48/2M) instead of being
+reported as a pass. Guards tools/spectrum_conformance.py's acceptance
+so the round-5 fix can't silently regress."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "spectrum_conformance.py")
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location("spectrum_conformance",
+                                                  _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+sc = _load_tool()
+
+
+def test_ok_requires_gs_ok():
+    base = dict(decode_ok=True, merge_overflow=0, gs_ok=True)
+    assert sc.accept(base)
+    assert not sc.accept({**base, "gs_ok": False})
+    assert not sc.accept({**base, "decode_ok": False})
+    assert not sc.accept({**base, "merge_overflow": 3})
+
+
+def test_ladder_structure():
+    """Rotation waves come first (cheapest), then the exact-SVD zip-up
+    rotations, then the D=48 doubled-beam terminal rung — the proven GS
+    runbook order (tools/RUNBOOK.md)."""
+    ladder = sc.spectrum_ladder()
+    assert [w.get("rot", 0) for w in ladder[:4]] == [0, 1, 2, 3]
+    assert all("zipup_rsvd" not in w for w in ladder[:4])
+    assert [w.get("rot", 0) for w in ladder[4:8]] == [0, 1, 2, 3]
+    assert all(w["zipup_rsvd"] is False for w in ladder[4:8])
+    assert ladder[-1]["D"] == 48 and ladder[-1]["M_mul"] == 2
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(sc.INST, "Chimera_droplet_instances")),
+    reason="reference instances not available")
+def test_escalation_runs_on_synthetic_miss():
+    """Feed escalate_spectrum an impossible oracle energy: every wave of a
+    short ladder must run (fresh solver + rotated search + decode) and the
+    returned record must fail gs_ok, i.e. a miss can never come back
+    accepted. With the true oracle the first wave accepts immediately."""
+    ladder = [dict(rot=0), dict(rot=1)]
+    oracle = sc.droplet_oracle(128)
+    true_E = oracle[1]
+    chk, E_dev, ins = sc.escalate_spectrum(
+        128, 1, 2, D=16, M=64, max_dEng=1.0, max_states=64,
+        oracle_E=true_E - 100.0, cand_factor=8, ladder=ladder)
+    assert chk["esc_wave"] == len(ladder) - 1  # walked every wave
+    assert not chk["gs_ok"]
+    assert not sc.accept({**chk, "ok": True})  # contract holds regardless
+    # sanity: the search itself found the true GS (the miss was synthetic)
+    assert abs(chk["E0"] - true_E) < 1e-4
+
+    chk2, _, _ = sc.escalate_spectrum(
+        128, 1, 2, D=16, M=64, max_dEng=1.0, max_states=64,
+        oracle_E=true_E, cand_factor=8, ladder=ladder)
+    assert chk2["esc_wave"] == 0 and chk2["gs_ok"]
+    assert sc.accept(chk2)

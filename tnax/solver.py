@@ -275,7 +275,7 @@ class Solver:
                                    graduate_truncation=True, Dmax=32,
                                    tolS=1e-16, tolV=1e-10, max_sweeps=20,
                                    path="host", cand_factor=8,
-                                   auto_grow=True):
+                                   auto_grow=True, zipup_rsvd=None):
         """Low-energy spectrum search recording droplet structure (reference
         `tnac4o/tnac4o.py:652-725`).
 
@@ -291,7 +291,12 @@ class Solver:
         so the recorded droplet tree is complete — reference semantics
         merge the full post-cutoff set (`tnac4o/tnac4o.py:481-526`).
         ``self.merge_overflow`` reports the residual overflow (0 = the
-        spectrum's droplet records are complete)."""
+        spectrum's droplet records are complete).
+
+        ``zipup_rsvd=False`` pins the exact-SVD zip-up boundary build (the
+        same exactness-escalation rung as the GS drivers — the randomized
+        sketch perturbs f32 boundaries enough to anchor hair-trigger
+        instances to a wrong ground state; see tools/RUNBOOK.md)."""
         from . import spectrum as _spec
         ctx = self._context()
         self.excitations_encoding = excitations_encoding
@@ -303,7 +308,7 @@ class Solver:
             relative_P_cutoff=relative_P_cutoff, max_dEng=max_dEng,
             lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS, tolV=tolV,
             max_sweeps=max_sweeps, graduate_truncation=graduate_truncation,
-            **kw)
+            zipup_rsvd=zipup_rsvd, **kw)
         factor = cand_factor
         while path == "device" and auto_grow and res.merge_overflow \
                 and factor < ctx.Np:
@@ -324,7 +329,7 @@ class Solver:
                      lim_hd=lim_hd, min_dEng=min_dEng, Dmax=Dmax, tolS=tolS,
                      tolV=tolV, max_sweeps=max_sweeps,
                      graduate_truncation=graduate_truncation,
-                     cand_factor=factor)
+                     cand_factor=factor, zipup_rsvd=zipup_rsvd)
         self.energy = res.energy
         self.probability = res.probability
         self.degeneracy = res.degeneracy

@@ -702,7 +702,8 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
                     M=2 ** 10, relative_P_cutoff=1e-6, max_dEng=0.0,
                     lim_hd=0, min_dEng=1e-12, Dmax=32, tolS=1e-16,
                     tolV=1e-10, max_sweeps=20,
-                    graduate_truncation=True) -> SearchResult:
+                    graduate_truncation=True,
+                    zipup_rsvd=None) -> SearchResult:
     """Beam search with droplet recording at merges.
 
     One loop implements all three encodings; only the recording step differs
@@ -712,7 +713,8 @@ def search_spectrum(ins, ctx: ContractionContext, excitations_encoding,
     ee = excitations_encoding
     t_total = time.time()
     logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
-    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation,
+                       rsvd=zipup_rsvd)
     logger.info("Elapsed: %.2f s", time.time() - t_total)
 
     Ny, Nx = ctx.Ny, ctx.Nx
@@ -835,7 +837,7 @@ def device_search_spectrum(ins, ctx: ContractionContext,
                            relative_P_cutoff=1e-6, max_dEng=0.0, lim_hd=0,
                            min_dEng=1e-12, Dmax=32, tolS=1e-16, tolV=1e-10,
                            max_sweeps=20, graduate_truncation=True,
-                           cand_factor=8) -> SearchResult:
+                           cand_factor=8, zipup_rsvd=None) -> SearchResult:
     """Device-record spectrum search (throughput mode).
 
     The device runs each lattice row as one jitted program
@@ -858,7 +860,8 @@ def device_search_spectrum(ins, ctx: ContractionContext,
     ee = excitations_encoding
     t_total = time.time()
     logger.info("Preprocessing boundary MPS (D=%d) ...", Dmax)
-    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation)
+    ctx.build_boundary(Dmax, tolS, tolV, max_sweeps, graduate_truncation,
+                       rsvd=zipup_rsvd)
     logger.info("Elapsed: %.2f s", time.time() - t_total)
 
     Ny, Nx, Np = ctx.Ny, ctx.Nx, ctx.Np

@@ -10,8 +10,12 @@ per instance, the reference's own acceptance contract
      `energy_Jij` verifier, matches the solver-reported energy to 1e-4;
   2. the recorded droplet tree is complete: merge_overflow == 0 (stragglers
      re-run through the solver's auto-grow cap ladder);
-  3. (informational) the lowest decoded energy equals the shipped GS oracle
-     (`groundstates_otn2d.txt`);
+  3. the lowest decoded energy equals the shipped GS oracle
+     (`groundstates_otn2d.txt`) — a spectrum anchored to a state above the
+     true ground state is NOT the low-energy spectrum, so `ok` REQUIRES
+     `gs_ok`; a gs_ok miss walks the same escalation ladder the GS
+     conformance uses (rotations 0-3 -> exact-SVD zip-up -> D=48/2M;
+     reference protocol `examples/e06_search_gs_degeneracy_J124.py:97-113`);
   4. (--host-check K) the first K instances' decoded spectra agree with the
      exact host-path search (sorted energy lists within 1e-4).
 
@@ -124,6 +128,58 @@ def check_spectrum(ins, J, oracle_E, max_dEng, max_states):
                 decode_s=round(time.time() - t0, 2)), E
 
 
+def accept(rec):
+    """The conformance contract: a decoded spectrum counts only if every
+    decoded energy re-scores exactly, the droplet tree is complete, AND its
+    lowest state is the true ground state (the round-4 verdict's crack: a
+    spectrum anchored 0.3-0.5 above the oracle GS is not the low-energy
+    spectrum, however self-consistent its tree)."""
+    return bool(rec["decode_ok"] and rec["merge_overflow"] == 0
+                and rec["gs_ok"])
+
+
+def spectrum_ladder(max_rot=4):
+    """Escalation waves for a gs_ok / overflow miss — the proven GS
+    conformance ladder (tools/RUNBOOK.md): rotations 0-3 (each escalation
+    attempt is already a fresh gauge draw via the separate-phase
+    2-rung precondition), then the same rotations with the exact-SVD
+    zip-up (the randomized sketch perturbs f32 boundaries on hair-trigger
+    instances), then the reference's D=48 operating point with a doubled
+    beam and exact zip-up."""
+    return ([dict(rot=r) for r in range(max_rot)]
+            + [dict(rot=r, zipup_rsvd=False) for r in range(max_rot)]
+            + [dict(rot=0, D=48, M_mul=2, zipup_rsvd=False)])
+
+
+def escalate_spectrum(L, k, ee, D, M, max_dEng, max_states, oracle_E,
+                      cand_factor, max_rot=4, ladder=None):
+    """Walk one instance through the escalation ladder until the decoded
+    spectrum is anchored to the oracle GS with a complete tree. Decoded
+    states are always verified against the NOISY couplings captured in the
+    ORIGINAL frame (binary_states/ind0 decode to the unrotated spin ids,
+    solver.py:346-355, while ins.J is rotated in place)."""
+    chk, E_dev, ins, wave_no = None, None, None, -1
+    for wave_no, wave in enumerate(ladder if ladder is not None
+                                   else spectrum_ladder(max_rot)):
+        ins = make_solver(L, k, ee)
+        J_orig = solver_J_triples(ins)
+        if wave.get("rot"):
+            ins.rotate_graph(rot=wave["rot"])
+        ins.precondition(mode="balancing")
+        ins.search_low_energy_spectrum(
+            excitations_encoding=ee, M=M * wave.get("M_mul", 1),
+            relative_P_cutoff=1e-8, Dmax=wave.get("D", D),
+            max_dEng=max_dEng, path="device", cand_factor=cand_factor,
+            auto_grow=True, zipup_rsvd=wave.get("zipup_rsvd"))
+        chk, E_dev = check_spectrum(ins, J_orig, oracle_E, max_dEng,
+                                    max_states)
+        chk["rot"] = wave.get("rot", 0)
+        chk["esc_wave"] = wave_no
+        if chk["gs_ok"] and chk["merge_overflow"] == 0:
+            break
+    return chk, E_dev, ins
+
+
 def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
                  host_check, done, cand_factor):
     from tnax import spectrum as spec
@@ -160,9 +216,17 @@ def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
                     cand_factor=cand_factor, auto_grow=True)
             chk, E_dev = check_spectrum(ins, solver_J_triples(ins),
                                         oracle[k], max_dEng, max_states)
+            chk["rot"] = 0
+            if not (chk["gs_ok"] and chk["merge_overflow"] == 0):
+                # the first-pass spectrum is anchored above the true GS (or
+                # its tree is incomplete): walk the GS escalation ladder
+                print(json.dumps({"instance": k, "escalating": True,
+                                  "E0_first": chk["E0"]}), flush=True)
+                chk, E_dev, ins = escalate_spectrum(
+                    L, k, ee, D, M, max_dEng, max_states, oracle[k],
+                    cand_factor)
             rec = dict(instance=k, **chk)
-            rec["ok"] = bool(rec["decode_ok"]
-                             and rec["merge_overflow"] == 0)
+            rec["ok"] = accept(rec)
             if host_check and k <= start + host_check - 1:
                 rec.update(host_agreement(L, k, ee, D, M, max_dEng,
                                           max_states, E_dev))
@@ -256,7 +320,16 @@ if __name__ == "__main__":
                 line = line.strip()
                 if line.startswith("{"):
                     r = json.loads(line)
-                    if r.get("ok") and "instance" in r:
+                    if "instance" not in r:
+                        continue
+                    # skip instances the strict contract would not re-run:
+                    # sampling records by their own ok; spectrum records
+                    # need gs_ok + a complete tree (decode outliers are
+                    # reference-parity, not retryable — see PARITY.md)
+                    if args.sample:
+                        if r.get("ok"):
+                            done.add(r["instance"])
+                    elif r.get("gs_ok") and r.get("merge_overflow", 1) == 0:
                         done.add(r["instance"])
         print(json.dumps({"resumed_ok": len(done)}), flush=True)
 
