@@ -174,3 +174,38 @@ def test_elem_batch_matches_per_loser():
     for t, (dpos, dstate) in enumerate(zip(dpos_all, dstate_all)):
         assert bool(flags[t]) == bool(
             spectrum.exc_elementary(ins, dpos, dstate))
+
+
+def test_unpack_v2_native_parity(lib):
+    """The native unpack_v2 kernel enumerates the identical state set as
+    the Python traversal — energies AND decoded states — on a real
+    spectrum with pruning binding (max_states below the enumerable
+    count), across ee=2 and ee=3."""
+    import tnax
+    from tnax import spectrum
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_search_small import make_chimera_like
+    rng = np.random.default_rng(11)
+    J = make_chimera_like(rng, 3, 3, 4)
+    for ee in (2, 3):
+        np.random.seed(3)
+        ins = tnax.Solver(mode="Ising", Nx=3, Ny=3, Nc=4, beta=2, J=J)
+        ins.add_noise(amplitude=1e-7)
+        ins.search_low_energy_spectrum(excitations_encoding=ee, Dmax=8,
+                                       M=256, max_dEng=2.0,
+                                       relative_P_cutoff=1e-10)
+        for ms in (8, 64, np.inf):
+            args = (ins, ins.el, 2.0, ms, ee == 3)
+            nat = spectrum._unpack_v2_native(*args)
+            assert nat is not None
+            ref = spectrum._unpack_v2_ising(*args)
+            E_n, f_n = nat
+            E_r, f_r = ref
+            assert len(E_n) == len(E_r)
+            # same state set: compare (energy, flip multiset) pairs
+            key_n = sorted((round(e, 12), tuple(sorted(f)))
+                           for e, f in zip(E_n.tolist(), f_n))
+            key_r = sorted((round(e, 12), tuple(sorted(f)))
+                           for e, f in zip(E_r.tolist(), f_r))
+            assert key_n == key_r, (ee, ms)

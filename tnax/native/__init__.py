@@ -30,8 +30,12 @@ _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 
 def _build():
     cc = os.environ.get("CC") or sysconfig.get_config_var("CC") or "cc"
-    cmd = cc.split() + ["-O2", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # link to a temp file and rename: overwriting the .so in place would
+    # truncate pages mapped by a concurrently running process (SIGBUS)
+    tmp = _SO + ".%d.tmp" % os.getpid()
+    cmd = cc.split() + ["-O2", "-shared", "-fPIC", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def lib():
@@ -74,6 +78,14 @@ def lib():
             + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                ctypes.c_void_p]
+        L.tnax_unpack_v2.restype = ctypes.c_int64
+        L.tnax_unpack_v2.argtypes = [ctypes.c_void_p] * 6 \
+            + [ctypes.c_int64] * 3 + [ctypes.c_double, ctypes.c_int64,
+                                      ctypes.c_int]
+        L.tnax_unpack_flip_total.restype = ctypes.c_int64
+        L.tnax_unpack_flip_total.argtypes = []
+        L.tnax_unpack_fetch.restype = None
+        L.tnax_unpack_fetch.argtypes = [ctypes.c_void_p] * 3
         _LIB = L
     except Exception as e:  # pragma: no cover - no toolchain
         logger.info("native droplet kernels unavailable (%s); "

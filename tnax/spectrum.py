@@ -443,6 +443,9 @@ def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
     """Graph-independence unpack (reference `_exc_unpack_v2`,
     `tnac4o/tnac4o.py:2337-2377`)."""
     if ins.mode == "Ising":
+        out = _unpack_v2_native(ins, excs, max_dEng, max_states, one_layer)
+        if out is not None:
+            return out
         return _unpack_v2_ising(ins, excs, max_dEng, max_states, one_layer)
     Eng = [0.0]
     pending = [list(excs)]
@@ -470,6 +473,72 @@ def unpack_v2(ins, excs, max_dEng=0.0, max_states=np.inf, one_layer=False):
             flip = [flip[i] for i in keep]
             pending = [pending[i] for i in keep]
     return np.array(Eng), flip
+
+
+def _unpack_v2_native(ins, excs, max_dEng, max_states, one_layer):
+    """Native-kernel unpack_v2 (tnax_unpack_v2 in tnax/native/droplets.c):
+    the identical traversal on a flattened tree — flip lists as shared
+    chains, pending lists as int32 arrays, the overlap filter as word-ANDs.
+    The enumerated state set matches the Python paths exactly for distinct
+    energies (intermediate prunes keep the max_states smallest, which is
+    order-independent); pure-Python enumeration costs 12-28 s per
+    chimera-2048 instance (results/r4_spectrum_L2048.jsonl decode_s).
+    Returns None when the kernel is unavailable (NumPy fallback applies)."""
+    L = _native.lib()
+    if L is None or not hasattr(L, "tnax_unpack_v2"):
+        return None
+    # flatten breadth-first so each node's children are contiguous
+    items = list(excs)
+    n_root = len(items)
+    dE, keys, cs, cc = [], [], [], []
+    i = 0
+    while i < len(items):
+        exc = items[i]
+        dE.append(exc[0][0])
+        keys.append(exc[0][1])
+        ch = () if one_layer else exc[1]
+        cs.append(len(items))
+        cc.append(len(ch))
+        items.extend(ch)
+        i += 1
+    n = len(items)
+    W = ins.adj_bits.shape[1]
+    if n == 0:
+        return np.zeros(1), [[]]
+    dE = np.asarray(dE, np.float64)
+    keys_a = np.asarray(keys, np.int64)
+    cs = np.asarray(cs, np.int64)
+    cc = np.asarray(cc, np.int64)
+    sm = np.empty((n, W), np.uint64)
+    nm = np.empty((n, W), np.uint64)
+    nbytes = W * 8
+    word_cache = {}
+    for t, k in enumerate(keys):
+        hit = word_cache.get(k)
+        if hit is None:
+            s_int, n_int = _shape_masks(ins, k)
+            hit = (np.frombuffer(s_int.to_bytes(nbytes, "little"),
+                                 np.uint64),
+                   np.frombuffer(n_int.to_bytes(nbytes, "little"),
+                                 np.uint64))
+            word_cache[k] = hit
+        sm[t], nm[t] = hit
+    ms = (2 ** 62) if max_states is None or np.isinf(max_states) \
+        else int(max_states)
+    n_out = L.tnax_unpack_v2(
+        dE.ctypes.data, keys_a.ctypes.data, cs.ctypes.data, cc.ctypes.data,
+        np.ascontiguousarray(sm).ctypes.data,
+        np.ascontiguousarray(nm).ctypes.data,
+        W, n, n_root, float(max_dEng), ms, int(bool(one_layer)))
+    if n_out < 0:  # allocation failure — fall back
+        return None
+    total = L.tnax_unpack_flip_total()
+    Eng = np.empty(n_out, np.float64)
+    off = np.empty(n_out + 1, np.int64)
+    fk = np.empty(max(total, 1), np.int64)
+    L.tnax_unpack_fetch(Eng.ctypes.data, off.ctypes.data, fk.ctypes.data)
+    flip = [fk[off[i]:off[i + 1]].tolist() for i in range(n_out)]
+    return Eng, flip
 
 
 def _unpack_v2_ising(ins, excs, max_dEng, max_states, one_layer):
