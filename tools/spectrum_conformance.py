@@ -181,9 +181,10 @@ def escalate_spectrum(L, k, ee, D, M, max_dEng, max_states, oracle_E,
 
 
 def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
-                 host_check, done, cand_factor):
+                 host_check, done, cand_factor, host_check_extra=()):
     from tnax import spectrum as spec
     oracle = droplet_oracle(L)
+    host_set = set(range(start, start + host_check)) | set(host_check_extra)
     todo = [k for k in range(start, n + 1) if k not in done]
     t00 = time.time()
     n_ok = 0
@@ -196,7 +197,8 @@ def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
         ctxs = [s._context() for s in solvers]
         results = spec.multi_search_spectrum(
             solvers, ctxs, ee, M=M, relative_P_cutoff=1e-8,
-            max_dEng=max_dEng, Dmax=D, cand_factor=cand_factor)
+            max_dEng=max_dEng, Dmax=D, cand_factor=cand_factor,
+            n_live=len(group))
         batch_s = time.time() - tb
         print(json.dumps({"batch0": group[0], "batch_s": round(batch_s, 2)}),
               flush=True)
@@ -227,7 +229,7 @@ def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
                     cand_factor)
             rec = dict(instance=k, **chk)
             rec["ok"] = accept(rec)
-            if host_check and k <= start + host_check - 1:
+            if k in host_set:
                 rec.update(host_agreement(L, k, ee, D, M, max_dEng,
                                           max_states, E_dev))
             n_ok += rec["ok"]
@@ -306,6 +308,9 @@ if __name__ == "__main__":
     p.add_argument("--host-check", type=int, default=0,
                    help="also run the exact host path on the first K "
                         "instances and require decoded-spectrum agreement")
+    p.add_argument("--host-check-extra", type=int, nargs="*", default=[],
+                   help="additional specific instances to host-check "
+                        "(e.g. a known decode outlier)")
     p.add_argument("--sample", action="store_true",
                    help="sweep Gibbs sampling (e02 contract) instead")
     p.add_argument("--sample-M", type=int, default=128)
@@ -339,5 +344,6 @@ if __name__ == "__main__":
     else:
         ok = run_spectrum(args.L, args.n, args.start, args.batch, args.ee,
                           args.D, args.M, args.dE, args.max_states,
-                          args.host_check, done, args.cand_factor)
+                          args.host_check, done, args.cand_factor,
+                          host_check_extra=args.host_check_extra)
     sys.exit(0 if ok else 1)
