@@ -578,7 +578,7 @@ def _orient_mpo(W, conj):
     return W if conj else jnp.transpose(W, (0, 1, 4, 3, 2))
 
 
-def _rsvd(Gm: jax.Array, k: int, key, iters: int = 2):
+def _rsvd(Gm: jax.Array, k: int, key, iters: int = 2, bf16: bool = False):
     """Randomized top-``k`` SVD (Halko-Martinsson-Tropp with power
     iterations): returns (U (m, k), S (k,), Vh (k, n)).
 
@@ -589,13 +589,26 @@ def _rsvd(Gm: jax.Array, k: int, key, iters: int = 2):
     ||G||_F^2 - sum(S^2). All operations are matmuls + thin QR — MXU
     work instead of a full iterative SVD of the (m, n) core, which
     dominated the boundary-build wall-clock on TPU.
+
+    ``bf16`` runs the range-finder GEMMs with bfloat16 inputs and float32
+    accumulation (native MXU issue rate); the projection ``B = Q^T Gm``
+    and the small SVD stay in full working precision, so only the kept
+    SUBSPACE is sketched more loosely — never the kept values. A quality
+    lever to be oracle-gated per workload (see tools/boundary_ab.py).
     """
     n = Gm.shape[1]
     Om = jax.random.normal(key, (n, k), Gm.dtype)
-    Q, _ = jnp.linalg.qr(Gm @ Om)
+
+    def mm(a, b):
+        if not bf16:
+            return a @ b
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=Gm.dtype)
+
+    Q, _ = jnp.linalg.qr(mm(Gm, Om))
     for _ in range(iters):
-        Z, _ = jnp.linalg.qr(Gm.T @ Q)
-        Q, _ = jnp.linalg.qr(Gm @ Z)
+        Z, _ = jnp.linalg.qr(mm(Gm.T, Q))
+        Q, _ = jnp.linalg.qr(mm(Gm, Z))
     B = Q.T @ Gm
     Ub, S, Vh = svd_fixed(B)
     return Q @ Ub, S, Vh
@@ -611,7 +624,8 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     The per-site truncation uses a randomized sketch (:func:`_rsvd`,
     seeded deterministically per site) whenever the exact SVD core would
     be much larger than the kept rank. ``rsvd`` pins the choice
-    explicitly (True/False); ``None`` reads the ambient default
+    explicitly (True/False, or "bf16" for the sketch with a bfloat16
+    range-finder — see :func:`_rsvd`); ``None`` reads the ambient default
     ``TNAX_ZIPUP_RSVD`` at trace time — callers that need bit-stable
     output across processes should pass an explicit value.
     """
@@ -626,6 +640,7 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     k_sketch = min(min(rows, cols), Dmax + 32)
     if rsvd is None:
         rsvd = _os.environ.get("TNAX_ZIPUP_RSVD", "1") != "0"
+    sketch_bf16 = rsvd == "bf16"
     use_rsvd = bool(rsvd) and min(rows, cols) >= 2 * k_sketch
     keys = jax.random.split(jax.random.PRNGKey(0), L)
 
@@ -638,7 +653,7 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
         G = jnp.einsum("mldb,ldru->mubr", t1, Wn)
         Gm = G.reshape(Dmax * du, D * lh)
         if use_rsvd:
-            U, S, Vh = _rsvd(Gm, k_sketch, key)
+            U, S, Vh = _rsvd(Gm, k_sketch, key, bf16=sketch_bf16)
             S = jnp.maximum(S, 0.0)
             # exact total discarded mass: everything outside the kept
             # columns, including what the sketch never captured
