@@ -230,8 +230,16 @@ def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
             rec = dict(instance=k, **chk)
             rec["ok"] = accept(rec)
             if k in host_set:
-                rec.update(host_agreement(L, k, ee, D, M, max_dEng,
-                                          max_states, E_dev))
+                # the host check replays the SAME escalation frame the
+                # accepted device record used (rotation / rsvd / D / M) —
+                # a rot=0 host spectrum of a rot!=0-escalated instance is
+                # anchored to the very GS miss the escalation fixed
+                wave = spectrum_ladder()[chk["esc_wave"]] \
+                    if "esc_wave" in chk else {}
+                rec.update(host_agreement(
+                    L, k, ee, wave.get("D", D), M * wave.get("M_mul", 1),
+                    max_dEng, max_states, E_dev, rot=wave.get("rot", 0),
+                    zipup_rsvd=wave.get("zipup_rsvd")))
             n_ok += rec["ok"]
             print(json.dumps(rec), flush=True)
     dt = time.time() - t00
@@ -242,14 +250,18 @@ def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
     return n_ok == len(todo)
 
 
-def host_agreement(L, k, ee, D, M, max_dEng, max_states, E_dev):
-    """Exact host-path spectrum on the same instance; sorted decoded
-    energies must agree with the device-record path."""
+def host_agreement(L, k, ee, D, M, max_dEng, max_states, E_dev, rot=0,
+                   zipup_rsvd=None):
+    """Exact host-path spectrum on the same instance (and the same
+    escalation frame); sorted decoded energies must agree with the
+    device-record path."""
     ins = make_solver(L, k, ee)
+    if rot:
+        ins.rotate_graph(rot=rot)
     ins.precondition(mode="balancing")
     ins.search_low_energy_spectrum(
         excitations_encoding=ee, M=M, relative_P_cutoff=1e-8, Dmax=D,
-        max_dEng=max_dEng, path="host")
+        max_dEng=max_dEng, path="host", zipup_rsvd=zipup_rsvd)
     ins.decode_low_energy_states(max_dEng=max_dEng, max_states=max_states)
     E_host = np.asarray(ins.energy, dtype=np.float64)
     m = min(len(E_host), len(E_dev))
