@@ -110,3 +110,42 @@ def test_apply_mpo_matches_dense():
             acc += mat[0, 0] * psi[ds]
         out[us] = acc
     assert np.allclose(got.reshape([d] * L), out, atol=1e-10)
+
+
+def test_rsvd_wide_sketch_exact_on_lowrank():
+    """_rsvd with the 'wide' oversampling recovers an exactly low-rank
+    matrix: U S Vh reconstructs Gm and the spectrum matches the dense SVD
+    (the sketch subspace contains the whole range when rank <= k)."""
+    import jax
+    rng = np.random.default_rng(7)
+    m, n, r = 200, 300, 10
+    Gm = jnp.asarray(rng.normal(size=(m, r)) @ rng.normal(size=(r, n)))
+    k = 2 * 16 + 32  # the 'wide' oversampling at Dmax=16
+    U, S, Vh = bmps._rsvd(Gm, k, jax.random.PRNGKey(0))
+    rec = np.asarray(U * S[None, :]) @ np.asarray(Vh)
+    assert np.allclose(rec, np.asarray(Gm), atol=1e-8)
+    s_ref = np.linalg.svd(np.asarray(Gm), compute_uv=False)
+    assert np.allclose(np.asarray(S)[:r], s_ref[:r], rtol=1e-8)
+    assert np.all(np.abs(np.asarray(S)[r:]) < 1e-7 * s_ref[0])
+
+
+@pytest.mark.parametrize("rsvd", ["wide", "bf16", True, False])
+def test_zipup_rsvd_variants_trace_and_agree(rsvd):
+    """Every rsvd mode of zipup_apply produces the same physical state at
+    small shapes (where the sketch gate falls back to the exact SVD —
+    this pins the plumbing: unknown strings must not crash or change
+    semantics at sub-sketch sizes)."""
+    rng = np.random.default_rng(9)
+    L, D, d, lh = 4, 3, 2, 2
+    A = random_mps(rng, L, D, d, D)
+    mps, _ = bmps.canonize_right(bmps.MPS(A=A, lognorm=jnp.zeros(())))
+    W = rng.normal(size=(L, lh, d, lh, d))
+    W[0, 1:] = 0
+    W[-1, :, :, 1:] = 0
+    out, disc = bmps.zipup_apply(mps, jnp.asarray(W), Dmax=D * lh,
+                                 conj=True, tol=1e-16, rsvd=rsvd)
+    ref, _ = bmps.zipup_apply(mps, jnp.asarray(W), Dmax=D * lh,
+                              conj=True, tol=1e-16, rsvd=False)
+    got = dense_state(out.A) * np.exp2(float(out.lognorm))
+    want = dense_state(ref.A) * np.exp2(float(ref.lognorm))
+    assert np.allclose(got, want, atol=1e-8)

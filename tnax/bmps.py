@@ -624,10 +624,13 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     The per-site truncation uses a randomized sketch (:func:`_rsvd`,
     seeded deterministically per site) whenever the exact SVD core would
     be much larger than the kept rank. ``rsvd`` pins the choice
-    explicitly (True/False, or "bf16" for the sketch with a bfloat16
-    range-finder — see :func:`_rsvd`); ``None`` reads the ambient default
-    ``TNAX_ZIPUP_RSVD`` at trace time — callers that need bit-stable
-    output across processes should pass an explicit value.
+    explicitly (True/False, "bf16" for the sketch with a bfloat16
+    range-finder, or "wide" for a 2*Dmax+32 oversampled sketch — a
+    fidelity mid-point between the default sketch and the exact SVD,
+    ~1.5x the range-finder GEMM cost — see :func:`_rsvd`); ``None``
+    reads the ambient default ``TNAX_ZIPUP_RSVD`` at trace time —
+    callers that need bit-stable output across processes should pass an
+    explicit value.
     """
     import os as _os
     Wc = _orient_mpo(W, conj)
@@ -637,9 +640,10 @@ def zipup_apply(mps: MPS, W: jax.Array, Dmax: int, *, conj: bool,
     eps = float(jnp.finfo(dtype).eps)
     tol = max(eps, tol)
     rows, cols = Dmax * du, D * lh
-    k_sketch = min(min(rows, cols), Dmax + 32)
     if rsvd is None:
         rsvd = _os.environ.get("TNAX_ZIPUP_RSVD", "1") != "0"
+    oversample = 2 * Dmax + 32 if rsvd == "wide" else Dmax + 32
+    k_sketch = min(min(rows, cols), oversample)
     sketch_bf16 = rsvd == "bf16"
     use_rsvd = bool(rsvd) and min(rows, cols) >= 2 * k_sketch
     keys = jax.random.split(jax.random.PRNGKey(0), L)

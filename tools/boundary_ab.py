@@ -6,6 +6,9 @@ Variants of the per-site zip-up truncation (`tnax.bmps.zipup_apply`):
   bf16    — the sketch with a bfloat16 range-finder / f32 projection
             (`_rsvd(bf16=True)`; candidate speed lever, must be
             oracle-gated before adoption),
+  wide    — the sketch with 2*Dmax+32 oversampling (fidelity mid-point:
+            ~1.5x the range-finder GEMM cost, candidate cure for the
+            ~75% L2048 first-pass rate),
   off     — exact SVD (the escalation rung; 7/8 vs 4/8 first-pass at
             1.7x batch cost in results/r4_fleet_upshape.jsonl — this
             sweep decides whether it wins on TOTAL-sweep seconds as the
@@ -35,7 +38,7 @@ from tnax import parallel
 INST = os.environ.get("TNAX_INSTANCES", "/root/reference/instances")
 SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),
           2048: (16, 16, 8)}
-VARIANTS = {"default": None, "bf16": "bf16", "off": False}
+VARIANTS = {"default": None, "bf16": "bf16", "wide": "wide", "off": False}
 
 
 def main():
