@@ -61,7 +61,9 @@ def test_escalation_runs_on_synthetic_miss():
     chk, E_dev, ins = sc.escalate_spectrum(
         128, 1, 2, D=16, M=64, max_dEng=1.0, max_states=64,
         oracle_E=true_E - 100.0, cand_factor=8, ladder=ladder)
-    assert chk["esc_wave"] == len(ladder) - 1  # walked every wave
+    assert chk["esc_waves_run"] == len(ladder)  # walked every wave
+    # the record returned is the BEST complete-tree wave of the walk
+    assert chk["esc_wave"] in range(len(ladder))
     assert not chk["gs_ok"]
     assert not sc.accept({**chk, "ok": True})  # contract holds regardless
     # sanity: the search itself found the true GS (the miss was synthetic)

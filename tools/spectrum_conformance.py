@@ -159,6 +159,7 @@ def escalate_spectrum(L, k, ee, D, M, max_dEng, max_states, oracle_E,
     ORIGINAL frame (binary_states/ind0 decode to the unrotated spin ids,
     solver.py:346-355, while ins.J is rotated in place)."""
     chk, E_dev, ins, wave_no = None, None, None, -1
+    best = None   # (chk, E_dev, ins) of the lowest complete-tree E0 so far
     for wave_no, wave in enumerate(ladder if ladder is not None
                                    else spectrum_ladder(max_rot)):
         ins = make_solver(L, k, ee)
@@ -175,9 +176,23 @@ def escalate_spectrum(L, k, ee, D, M, max_dEng, max_states, oracle_E,
                                     max_states)
         chk["rot"] = wave.get("rot", 0)
         chk["esc_wave"] = wave_no
+        print(json.dumps({"esc": k, "wave": wave_no, "rot": chk["rot"],
+                          "E0": chk["E0"], "gs_ok": chk["gs_ok"],
+                          "overflow": chk["merge_overflow"]}),
+              file=sys.stderr, flush=True)
         if chk["gs_ok"] and chk["merge_overflow"] == 0:
-            break
-    return chk, E_dev, ins
+            return chk, E_dev, ins
+        if chk["merge_overflow"] == 0 and chk["E0"] is not None and (
+                best is None or chk["E0"] < best[0]["E0"]):
+            best = (chk, E_dev, ins)
+    # full-ladder miss: report the BEST wave's spectrum (lowest anchored
+    # E0 with a complete tree), not whichever wave happened to run last;
+    # esc_wave stays the index of the frame that PRODUCED the record
+    # (r5_host_recheck reconstructs frames from it), esc_waves_run counts
+    # the full walk
+    out = best if best is not None else (chk, E_dev, ins)
+    out[0]["esc_waves_run"] = wave_no + 1
+    return out
 
 
 def run_spectrum(L, n, start, batch, ee, D, M, max_dEng, max_states,
