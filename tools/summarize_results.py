@@ -24,7 +24,14 @@ def main():
             if line.startswith("{"):
                 recs.append(json.loads(line))
         summ = [r for r in recs if "fleet_summary" in r]
-        recs = [r for r in recs if "instance" in r]
+        # full per-instance records only (escalation progress markers and
+        # batch timings carry no "ok"); repairs append corrected records,
+        # so the LAST record per instance wins (r5_host_recheck convention)
+        last = {}
+        for r in recs:
+            if "instance" in r and "ok" in r:
+                last[r["instance"]] = r
+        recs = [last[k] for k in sorted(last)]
         if not recs:
             continue
         ok = sum(r["ok"] for r in recs)
