@@ -128,7 +128,7 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
     Nx, Ny, Nc = SHAPES[L]
     oracle = droplet_oracle(L)
     t00 = time.time()
-    Js, best, rot_used = {}, {}, {}
+    Js, best, rot_used, ps_used = {}, {}, {}, {}
     for k in range(start, n + 1):
         f = os.path.join(INST, "Chimera_droplet_instances",
                          f"chimera{L}_spinglass_power", "%03d.txt" % k)
@@ -138,7 +138,7 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
 
     def emit(k):
         rec = dict(instance=k, energy=best[k], rot=rot_used.get(k, 0),
-                   oracle=oracle[k],
+                   ps=ps_used.get(k, 1), oracle=oracle[k],
                    ok=bool(abs(best[k] - oracle[k]) < 1e-4))
         results.append(rec)
         print(json.dumps(rec), flush=True)
@@ -150,13 +150,21 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
     np.asarray(__import__("jax").numpy.zeros(1) + 1)
     print(json.dumps({"backend_init_s": round(time.time() - t_init, 2)}),
           flush=True)
-    # waves: rotations 0..3 with the default boundary build, then (for
-    # stragglers only) rotations again with the exact-SVD zip-up
-    # (zipup_rsvd=False) — the cheap fidelity rung before D/M/f64
-    # escalation (L2048 #92 evidence, results/r3_probe6*)
-    waves = [(rot, None) for rot in range(max_rot)] \
-        + [(rot, False) for rot in range(max_rot)]
-    for rot, rsvd_w in waves:
+    # waves: rotations 0..3 with the default boundary build (pre_steps=1),
+    # then rotations with a DEEPER balancing ladder (pre_steps=2 — a fresh
+    # gauge draw; every r4 L2048 straggler 26/52/69 was fixed by exactly
+    # this rung, results/r4_droplet_L2048_rerun.jsonl + RUNBOOK, but as a
+    # ~200 s/instance separate-phase program — here it rides the fleet
+    # batching for one extra ~55 s compile), then rotations with the
+    # exact-SVD zip-up (zipup_rsvd=False — the r3 #92 fidelity rung,
+    # results/r3_probe6*; kept terminal because its program recompile cost
+    # 153 s in r4)
+    waves = [(rot, None, 1) for rot in range(max_rot)] \
+        + [(rot, None, 2) for rot in range(max_rot)] \
+        + [(rot, False, 1) for rot in range(max_rot)]
+    for rot, rsvd_w, ps_w in waves:
+        if ps_w != 1 and not precondition:
+            continue      # ps only exists in the fused-ladder path
         if not pending:
             break
         for lo in range(0, len(pending), batch):
@@ -179,14 +187,15 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                 # whole batch in ONE compiled program / ONE dispatch
                 rs = parallel.multi_flagship_search_gs(
                     solvers, M=M, relative_P_cutoff=1e-8, Dmax=D,
-                    zipup_rsvd=rsvd_w, cand_factor=cand_factor)
+                    zipup_rsvd=rsvd_w, cand_factor=cand_factor,
+                    pre_steps=ps_w)
             else:
                 ctxs = [ins._context() for ins in solvers]
                 rs = parallel.multi_search_gs(ctxs, M=M,
                                               relative_P_cutoff=1e-8,
                                               Dmax=D)
             print(json.dumps({"batch0": group[0], "rot": rot,
-                              "rsvd": rsvd_w,
+                              "rsvd": rsvd_w, "ps": ps_w,
                               "batch_s": round(time.time() - tb, 2)}),
                   flush=True)
             for k, ins, r in zip(group, solvers, rs):
@@ -194,13 +203,15 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
                 E = float(tnax.energy_Jij(Js[k], ins.binary_states())[0])
                 if E < best[k] - 1e-9:
                     best[k], rot_used[k] = E, rot
+                    ps_used[k] = ps_w
         # emit matched instances NOW — a crash or kill loses nothing
         for k in pending:
             if abs(best[k] - oracle[k]) < 1e-4:
                 emit(k)
         pending = [k for k in pending
                    if abs(best[k] - oracle[k]) >= 1e-4]
-        print(json.dumps({"rot": rot, "pending_after": len(pending)}),
+        print(json.dumps({"rot": rot, "rsvd": rsvd_w, "ps": ps_w,
+                          "pending_after": len(pending)}),
               flush=True)
     for k in pending:            # never matched: emit the best attempt
         emit(k)
