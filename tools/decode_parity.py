@@ -39,10 +39,14 @@ SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),
           2048: (16, 16, 8)}
 
 
-def run_one(pkg, L, k, ee, D, M, dE, max_states):
+def run_one(pkg, L, k, ee, D, M, dE, max_states, rot=0):
     """One decoded spectrum through `pkg` (tnax or the reference tnac4o —
     both expose the same API surface by design). Returns (record, sorted
-    energy list)."""
+    energy list).  `rot` rotates the graph AFTER the seeded noise (the
+    e06 protocol order, reference tnac4o.py:290,928); the noisy couplings
+    for the independent re-score are captured from the ROTATED frame so
+    states and couplings stay consistent, and the sorted energy lists
+    compared across packages are frame-invariant."""
     Nx, Ny, Nc = SHAPES[L]
     f = os.path.join(INST, "Chimera_droplet_instances",
                      f"chimera{L}_spinglass_power", "%03d.txt" % k)
@@ -52,6 +56,8 @@ def run_one(pkg, L, k, ee, D, M, dE, max_states):
     if ee > 1:
         np.random.seed(1000 + k)
         ins.add_noise(amplitude=1e-7)
+    if rot:
+        ins.rotate_graph(rot)
     coo = ins.J.tocoo()
     J_noisy = list(zip(coo.row.tolist(), coo.col.tolist(),
                        coo.data.tolist()))
@@ -83,6 +89,9 @@ def main():
     p.add_argument("--M", type=int, default=1024)
     p.add_argument("--dE", type=float, default=1.0)
     p.add_argument("--max-states", type=int, default=1024)
+    p.add_argument("--rot", type=int, default=0,
+                   help="rotate the graph (e06 protocol) before the "
+                        "search; energy lists stay frame-invariant")
     args = p.parse_args()
 
     pkgs = {}
@@ -98,9 +107,10 @@ def main():
         lists = {}
         for name, pkg in pkgs.items():
             rec, E = run_one(pkg, args.L, k, args.ee, args.D, args.M,
-                             args.dE, args.max_states)
+                             args.dE, args.max_states, rot=args.rot)
             lists[name] = E
-            print(json.dumps(dict(which=name, L=args.L, instance=k, **rec)),
+            print(json.dumps(dict(which=name, L=args.L, instance=k,
+                                  rot=args.rot, **rec)),
                   flush=True)
         if len(lists) == 2:
             m = min(len(lists["ref"]), len(lists["tnax"]))
