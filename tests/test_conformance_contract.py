@@ -35,6 +35,15 @@ def test_ok_requires_gs_ok():
     assert not sc.accept({**base, "merge_overflow": 3})
 
 
+def test_sample_accept_contract():
+    """The e02 sampling contract: exact energy agreement AND a full
+    walker count — a sweep can't count a short or mis-scored batch ok."""
+    good = dict(energy_err=0.0, n_samples=128)
+    assert sc.sample_accept(good, 128)
+    assert not sc.sample_accept({**good, "energy_err": 1e-3}, 128)
+    assert not sc.sample_accept({**good, "n_samples": 100}, 128)
+
+
 def test_ladder_structure():
     """Rotation waves come first (cheapest), then the exact-SVD zip-up
     rotations, then the D=48 doubled-beam terminal rung — the proven GS

@@ -308,6 +308,14 @@ def host_agreement(L, k, ee, D, M, max_dEng, max_states, E_dev, rot=0,
     return best
 
 
+def sample_accept(rec, M):
+    """The e02 sampling contract (reference
+    `examples/test_examples.py:54-56`): every reported energy matches the
+    independent `energy_Jij` recomputation and every requested walker is
+    returned. CI-guarded in tests/test_conformance_contract.py."""
+    return bool(rec["energy_err"] < 1e-6 and rec["n_samples"] == M)
+
+
 def run_sample(L, n, start, batch, D, M, done, seed0=0):
     from tnax import parallel
     todo = [k for k in range(start, n + 1) if k not in done]
@@ -329,8 +337,8 @@ def run_sample(L, n, start, batch, D, M, done, seed0=0):
             Es = tnax.energy_Jij(load(L, k), ins.binary_states())
             err = float(np.max(np.abs(np.asarray(r["energy"]) - Es)))
             rec = dict(instance=k, n_samples=int(len(Es)),
-                       energy_err=round(err, 9),
-                       ok=bool(err < 1e-6 and len(Es) == M))
+                       energy_err=round(err, 9))
+            rec["ok"] = sample_accept(rec, M)
             n_ok += rec["ok"]
             print(json.dumps(rec), flush=True)
     dt = time.time() - t00
