@@ -28,10 +28,17 @@ SHAPES = {128: (4, 4, 8), 512: (8, 8, 8), 1152: (12, 12, 8),
           2048: (16, 16, 8)}
 
 
-def droplet_oracle(L):
+def droplet_oracle(L, max_energy=False):
+    """Per-instance GS energies (groundstates_otn2d.txt) or, with
+    ``max_energy``, the NEGATED max energies (max_energy_otn2d.txt,
+    shipped for L128/L512): searching the ``minus_Jij`` problem finds
+    the max-energy state as its ground state (reference
+    `tnac4o/auxx.py` minus_Jij contract), so both sweeps share the
+    oracle-match comparison `E_found == oracle` verbatim."""
     path = os.path.join(INST, "Chimera_droplet_instances",
                         f"chimera{L}_spinglass_power",
-                        "groundstates_otn2d.txt")
+                        "max_energy_otn2d.txt" if max_energy
+                        else "groundstates_otn2d.txt")
     out = {}
     with open(path) as f:
         for line in f:
@@ -39,7 +46,7 @@ def droplet_oracle(L):
             if len(parts) < 3 or ":" not in line:
                 continue
             ins = int(parts[0].split(".")[0])
-            out[ins] = float(parts[2])
+            out[ins] = -float(parts[2]) if max_energy else float(parts[2])
     return out
 
 
@@ -77,14 +84,16 @@ def _droplet_once(J, Nx, Ny, Nc, rot, D, M, path, precondition,
 
 
 def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
-                escalate=False):
+                escalate=False, max_energy=False):
     Nx, Ny, Nc = SHAPES[L]
-    oracle = droplet_oracle(L)
+    oracle = droplet_oracle(L, max_energy=max_energy)
     results = []
     for ins_no in range(start, n + 1):
         f = os.path.join(INST, "Chimera_droplet_instances",
                          f"chimera{L}_spinglass_power", "%03d.txt" % ins_no)
         J = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
+        if max_energy:
+            J = tnax.minus_Jij(J)
         t0 = time.time()
         best, rot_used, esc = np.inf, 0, False
         # rotation protocol: attack the contraction from other edges when a
@@ -117,7 +126,8 @@ def run_droplet(L, n, D, M, path, precondition, max_rot=4, start=1,
 
 
 def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
-                        start=1, done=None, cand_factor=8):
+                        start=1, done=None, cand_factor=8,
+                        max_energy=False):
     """Droplet conformance in fleet mode: instances are searched in
     `multi_search_gs` batches (the production throughput path — BASELINE
     north-star '100 instances x 4 rotations'), with the rotation-retry
@@ -126,19 +136,22 @@ def run_droplet_batched(L, n, D, M, precondition, batch=8, max_rot=4,
     each while stragglers escalate."""
     from tnax import parallel
     Nx, Ny, Nc = SHAPES[L]
-    oracle = droplet_oracle(L)
+    oracle = droplet_oracle(L, max_energy=max_energy)
     t00 = time.time()
     Js, best, rot_used, ps_used = {}, {}, {}, {}
     for k in range(start, n + 1):
         f = os.path.join(INST, "Chimera_droplet_instances",
                          f"chimera{L}_spinglass_power", "%03d.txt" % k)
         Js[k] = tnax.round_Jij(tnax.Jij_f2p(tnax.load_Jij(f)), 1 / 75)
+        if max_energy:
+            Js[k] = tnax.minus_Jij(Js[k])
         best[k] = np.inf
     results = []
 
     def emit(k):
         rec = dict(instance=k, energy=best[k], rot=rot_used.get(k, 0),
                    ps=ps_used.get(k, 1), oracle=oracle[k],
+                   max_energy=bool(max_energy),
                    ok=bool(abs(best[k] - oracle[k]) < 1e-4))
         results.append(rec)
         print(json.dumps(rec), flush=True)
@@ -453,6 +466,9 @@ if __name__ == "__main__":
     p.add_argument("--cand-factor", type=int, default=8,
                    help="j124 merge candidate cap factor; 0 = uncapped "
                         "(exact full-candidate-set merge)")
+    p.add_argument("--max-energy", action="store_true",
+                   help="droplet: validate against max_energy_otn2d.txt "
+                        "(search the minus_Jij problem; L128/L512 only)")
     p.add_argument("--no-pre", dest="pre", action="store_false")
     p.set_defaults(pre=True)
     args = p.parse_args()
@@ -484,17 +500,20 @@ if __name__ == "__main__":
         for k in (int(x) for x in args.only.split(",")):
             res += run_droplet(args.L, k, args.D or 32, args.M or 1024,
                                args.path, args.pre, start=k,
-                               escalate=args.escalate)
+                               escalate=args.escalate,
+                               max_energy=args.max_energy)
     elif args.family == "droplet" and args.fleet:
         res = run_droplet_batched(args.L, args.n, args.D or 32,
                                   args.M or 1024, args.pre,
                                   batch=args.fleet, start=args.start,
                                   done=done,
-                                  cand_factor=args.cand_factor or None)
+                                  cand_factor=args.cand_factor or None,
+                                  max_energy=args.max_energy)
     elif args.family == "droplet":
         res = run_droplet(args.L, args.n, args.D or 32, args.M or 1024,
                           args.path, args.pre, start=args.start,
-                          escalate=args.escalate)
+                          escalate=args.escalate,
+                          max_energy=args.max_energy)
     else:
         res = run_j124(args.C, args.n, args.D or 48, args.M or 4096,
                        args.pre, path=args.path, start=args.start,
